@@ -1,0 +1,328 @@
+"""Batched refractive camera model.
+
+Re-designs the reference's ``project/camera.{hpp,cpp}`` as a pytree of arrays
+plus pure functions:
+
+* ``project``     — world point -> pixel, with flat-interface refraction
+                    (``Camera::project`` camera.cpp:380-419, quartic refractive
+                    projection camera.cpp:95-138) and OpenCV forward lens
+                    distortion (camera.cpp:395-416).
+* ``unproject``   — pixel -> world ray, with iterative undistortion
+                    (camera.cpp:426-450, 5 fixed iterations) and Snell
+                    refraction at the interface (camera.cpp:452-458).
+* ``camera_from_P`` — RQ decomposition of a 3x4 projection matrix with the
+                    reference's exact sign-fixing and Gram-Schmidt
+                    re-orthonormalization (``updateOthers`` camera.cpp:251-288,
+                    ``orthonormalize`` camera.cpp:143-165).
+
+The GSL quartic solve of the reference is replaced by a bracketed bisection
+(see ``geometry/quartic.py``) which is branch-free and vectorizes over
+(pixel, depth) lanes on the VPU.
+
+All functions broadcast over leading batch dimensions of the point/pixel
+arguments; the camera itself holds unbatched ``[3,3]``/``[3]``/... arrays (use
+``jax.vmap`` over a stacked Camera pytree for multi-camera batching).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .quartic import refraction_radius
+from .rays import refract_ray
+
+_EPS = 1e-10
+
+
+def inv3x3(M):
+    """Closed-form adjugate inverse of ``[..., 3, 3]`` matrices.
+
+    Elementwise ops only — unlike ``jnp.linalg.inv`` this lowers on TPU for
+    every dtype (TPU LU decomposition supports f32 only).
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+class Camera(NamedTuple):
+    """Pinhole camera + OpenCV distortion + flat refractive interface.
+
+    ``plane_normal``/``plane_dist`` describe the refractive interface in the
+    *local* camera frame (unit normal, distance), as in Camera::plane_.
+    ``dist`` is the 5-coefficient OpenCV model in the reference's storage
+    order ``[k1, k2, p1, p2, k3]`` (project.cpp:140-150).
+    """
+
+    K: jnp.ndarray            # [3, 3]
+    Kinv: jnp.ndarray         # [3, 3]
+    R: jnp.ndarray            # [3, 3]
+    t: jnp.ndarray            # [3]
+    C: jnp.ndarray            # [3]  camera center: -R^T t
+    dist: jnp.ndarray         # [5]  k1, k2, p1, p2, k3
+    plane_normal: jnp.ndarray  # [3]  unit, local frame
+    plane_dist: jnp.ndarray   # []
+    refr_index: jnp.ndarray   # []
+
+    @property
+    def is_refractive(self):
+        """Camera::isRefractive_ (camera.cpp:329, 339)."""
+        return (jnp.abs(self.refr_index - 1.0) > _EPS) & (
+            jnp.abs(self.plane_dist) > _EPS
+        )
+
+    @property
+    def is_distorted(self):
+        """Camera::isDistorted_ (camera.cpp:305-309)."""
+        return jnp.any(jnp.abs(self.dist) > _EPS)
+
+    def astype(self, dtype):
+        return Camera(*[jnp.asarray(f, dtype=dtype) for f in self])
+
+
+def make_camera(K, R, t, dist=None, plane_normal=None, plane_dist=0.0,
+                refr_index=1.0, dtype=jnp.float64):
+    """Build a Camera from K, R, t (Camera::set semantics, sans the GS step —
+    pass an orthonormal R)."""
+    K = jnp.asarray(K, dtype=dtype)
+    R = jnp.asarray(R, dtype=dtype)
+    t = jnp.asarray(t, dtype=dtype)
+    if dist is None:
+        dist = jnp.zeros((5,), dtype=dtype)
+    else:
+        dist = jnp.asarray(dist, dtype=dtype)
+    if plane_normal is None:
+        plane_normal = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+    else:
+        plane_normal = jnp.asarray(plane_normal, dtype=dtype)
+        plane_normal = plane_normal / jnp.maximum(
+            jnp.linalg.norm(plane_normal), _EPS
+        )
+    return Camera(
+        K=K,
+        Kinv=inv3x3(K),
+        R=R,
+        t=t,
+        C=-R.T @ t,
+        dist=dist,
+        plane_normal=plane_normal,
+        plane_dist=jnp.asarray(plane_dist, dtype=dtype),
+        refr_index=jnp.asarray(refr_index, dtype=dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-matrix decomposition (host-side, numpy, bit-faithful to the reference)
+# ---------------------------------------------------------------------------
+
+def orthonormalize(mat: np.ndarray) -> np.ndarray:
+    """Column-wise Gram-Schmidt with tiny-value flushing
+    (``orthonormalize`` camera.cpp:143-165)."""
+    mat = np.array(mat, dtype=np.float64)
+    for i in range(3):
+        accum = np.zeros(3)
+        for j in range(i):
+            vi = mat[:, i].copy()
+            vj = mat[:, j].copy()
+            scale = vi.dot(vj) / vj.dot(vj)
+            accum += scale * vj
+        mat[:, i] -= accum
+        mat[:, i] /= np.linalg.norm(mat[:, i])
+    mat[np.abs(mat) < 1e-10] = 0.0
+    return mat
+
+
+def decompose_P(P: np.ndarray):
+    """RQ-factorize a 3x4 projection matrix into (K, R, t, C).
+
+    Bit-faithful port of ``Camera::updateOthers`` (camera.cpp:251-288):
+    normalization by the *squared* norm of P.row(2).head(3), reversed-rows QR,
+    the diagonal/last-column sign fixes, and Gram-Schmidt cleanup.
+    """
+    P = np.asarray(P, dtype=np.float64)
+    P = P / (P[2, :3] @ P[2, :3])  # squaredNorm, as in camera.cpp:252
+
+    M = P[:, :3]
+    rev = np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], dtype=np.float64)
+
+    Q, Rq = np.linalg.qr((rev @ M).T)
+    R = rev @ Q.T
+    K = rev @ Rq.T @ rev
+
+    for axis in (2, 1, 0):
+        if K[axis, axis] < 0:
+            K[axis, axis] = -K[axis, axis]
+            R[axis, :] = -R[axis, :]
+        if K[axis, 2] < 0:
+            K[axis, 2] = -K[axis, 2]
+
+    R = orthonormalize(R)
+
+    Kinv = np.linalg.inv(K)
+    t = Kinv @ P[:, 3]
+    C = -R.T @ t
+    return K, R, t, C
+
+
+def camera_from_P(P, dist=None, plane_normal=None, plane_dist=0.0,
+                  refr_index=1.0, dtype=jnp.float64):
+    """Camera::setP: decompose P and build the camera."""
+    K, R, t, _ = decompose_P(np.asarray(P))
+    return make_camera(K, R, t, dist=dist, plane_normal=plane_normal,
+                       plane_dist=plane_dist, refr_index=refr_index,
+                       dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Frame transforms (camera.cpp:346-376)
+# ---------------------------------------------------------------------------
+
+def from_global_to_local(cam: Camera, p):
+    return p @ cam.R.T + cam.t
+
+
+def from_local_to_global(cam: Camera, p):
+    return (p - cam.t) @ cam.R
+
+
+def principal_ray(cam: Camera):
+    """``updatePrincipleRay`` camera.cpp:292-298: (C, R^T K^-1 (K.col(2)/K22))."""
+    tcol = cam.K[:, 2]
+    d = cam.Kinv @ (tcol / tcol[2])
+    d = d / jnp.linalg.norm(d)
+    return cam.C, cam.R.T @ d
+
+
+# ---------------------------------------------------------------------------
+# Projection
+# ---------------------------------------------------------------------------
+
+def _project_refraction(p, normal, d, n, *, iters):
+    """Refractive projection of local points onto the interface plane
+    (``projectRefraction`` camera.cpp:95-138), via bracketed bisection.
+
+    p: [..., 3] local points. Returns ([..., 3] points on the plane, valid).
+    """
+    axial = jnp.sum(p * normal, axis=-1)           # signed axial coordinate
+    proj = axial[..., None] * normal               # projection onto normal
+    radial = p - proj
+    r = jnp.linalg.norm(radial, axis=-1)
+    z = jnp.abs(axial)                             # proj.norm()
+    r_safe = jnp.maximum(r, _EPS)
+    dirv = radial / r_safe[..., None]
+
+    ri = refraction_radius(r, z, d, n, iters=iters)
+    p_out = ri[..., None] * dirv + d * normal
+    valid = jnp.isfinite(ri)
+    return p_out, valid
+
+
+def distort(cam: Camera, xy):
+    """OpenCV forward distortion in pixel coords (camera.cpp:395-416)."""
+    cx, cy = cam.K[0, 2], cam.K[1, 2]
+    fx, fy = cam.K[0, 0], cam.K[1, 1]
+    k = cam.dist
+
+    x = (xy[..., 0] - cx) / fx
+    y = (xy[..., 1] - cy) / fy
+    r2 = x * x + y * y
+    cdist = 1.0 + ((k[4] * r2 + k[1]) * r2 + k[0]) * r2
+    xd = x * cdist + 2.0 * k[2] * x * y + k[3] * (r2 + 2.0 * x * x)
+    yd = y * cdist + k[2] * (r2 + 2.0 * y * y) + 2.0 * k[3] * x * y
+    return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+
+
+def undistort(cam: Camera, xy):
+    """OpenCV-style iterative undistortion, exactly 5 iterations
+    (camera.cpp:426-450)."""
+    cx, cy = cam.K[0, 2], cam.K[1, 2]
+    fx, fy = cam.K[0, 0], cam.K[1, 1]
+    k = cam.dist
+
+    x0 = (xy[..., 0] - cx) / fx
+    y0 = (xy[..., 1] - cy) / fy
+    x, y = x0, y0
+    for _ in range(5):
+        r2 = x * x + y * y
+        icdist = 1.0 / (1.0 + ((k[4] * r2 + k[1]) * r2 + k[0]) * r2)
+        dx = 2.0 * k[2] * x * y + k[3] * (r2 + 2.0 * x * x)
+        dy = k[2] * (r2 + 2.0 * y * y) + 2.0 * k[3] * x * y
+        x = (x0 - dx) * icdist
+        y = (y0 - dy) * icdist
+    return jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
+
+
+def project(cam: Camera, X, *, enable_refraction: bool = True,
+            enable_distortion: bool = True, quartic_iters: int = 60):
+    """World points ``X [..., 3]`` -> pixel coords ``[..., 2]`` + validity.
+
+    Follows ``Camera::project`` (camera.cpp:380-419): local frame, refractive
+    interface projection when the camera is refractive, K-projection, forward
+    distortion.  ``enable_*`` statically elide stages the caller knows are
+    inactive for the whole rig (the per-camera dynamic flags still gate the
+    math via ``jnp.where``).
+    """
+    p_local = from_global_to_local(cam, X)
+    valid = jnp.ones(p_local.shape[:-1], dtype=bool)
+
+    if enable_refraction:
+        p_refr, v_refr = _project_refraction(
+            p_local, cam.plane_normal, cam.plane_dist, cam.refr_index,
+            iters=quartic_iters)
+        refr = cam.is_refractive
+        p_local = jnp.where(refr, p_refr, p_local)
+        valid = valid & jnp.where(refr, v_refr, True)
+
+    q = p_local @ cam.K.T
+    z = q[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    xy = q[..., :2] / z_safe[..., None]
+
+    if enable_distortion:
+        xy = jnp.where(cam.is_distorted, distort(cam, xy), xy)
+
+    return xy, valid
+
+
+def unproject(cam: Camera, xy, *, enable_refraction: bool = True,
+              enable_distortion: bool = True):
+    """Pixel coords ``[..., 2]`` -> world rays ``(origin, direction)``.
+
+    Follows ``Camera::unproject`` (camera.cpp:423-459): undistort, ray through
+    K^-1 p from the local origin, Snell refraction at the interface, transform
+    to the global frame.  Directions are unit length.
+    """
+    if enable_distortion:
+        xy = jnp.where(cam.is_distorted, undistort(cam, xy), xy)
+
+    ph = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+    d = ph @ cam.Kinv.T
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+    o = jnp.zeros_like(d)
+
+    if enable_refraction:
+        o_r, d_r, _ = refract_ray(
+            o, d, cam.plane_normal, cam.plane_dist, cam.refr_index)
+        refr = cam.is_refractive
+        o = jnp.where(refr, o_r, o)
+        d = jnp.where(refr, d_r, d)
+
+    # fromLocalToGlobal for a ray (camera.cpp:372-376)
+    o_g = (o - cam.t) @ cam.R
+    d_g = d @ cam.R
+    return o_g, d_g
