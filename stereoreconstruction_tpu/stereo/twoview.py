@@ -1,0 +1,239 @@
+"""Two-view dense stereo engine.
+
+TPU-native re-design of ``TwoViewStereo`` (stereo/twoviewstereo.cpp):
+depth-sweep weighted-NCC cost volume + sequential-semantics WTA with
+second-best ambiguity rejection + symmetric cross-check.
+
+The per-depth plane is computed inside a ``lax.scan`` so the full ``[D,H,W]``
+cost volume never materializes in HBM; each plane is one fused
+gather+VPU pass.  WTA carries (minCost, secondBest, bestDepth) through the
+scan with the reference's exact sequential update rule (twoviewstereo.cpp:
+320-326): a depth wins only if it improves by more than 1e-10, and
+"second best" is the previous best at that moment (not the global second
+minimum) — both replicated because they gate the ambiguity rejection
+``minCost > 0.95 * secondBest`` (twoviewstereo.cpp:304).
+
+NaN = never evaluated / masked; +inf = evaluated but rejected.  Matches the
+reference's DepthMap sentinel conventions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import TwoViewConfig
+from ..geometry.camera import Camera, project, unproject, principal_ray
+from ..ops.ncc import _left_windows, twoview_cost_plane, sad_cost_plane
+from ..ops.weights import compute_weights
+from .depthsweep import (
+    depth_labels_twoview,
+    pixel_rays,
+    point_from_depth,
+    match_points,
+    sweep_points,
+)
+
+
+class TwoViewResult(NamedTuple):
+    depth_left: jnp.ndarray    # [H, W]
+    depth_right: jnp.ndarray   # [H, W]
+
+
+def _wta_scan(cost_fn, depths, init_shape, dtype):
+    """Sequential WTA over depth labels with reference tie/second-best
+    semantics."""
+    inf = jnp.full(init_shape, jnp.inf, dtype)
+    nan = jnp.full(init_shape, jnp.nan, dtype)
+
+    def body(carry, d_idx):
+        min_cost, second, best = carry
+        cost, depth_value = cost_fn(d_idx)
+        better = cost + 1e-10 < min_cost
+        second = jnp.where(better, min_cost, second)
+        min_cost = jnp.where(better, cost, min_cost)
+        best = jnp.where(better, depth_value, best)
+        return (min_cost, second, best), ()
+
+    (min_cost, second, best), _ = lax.scan(
+        body, (inf, inf, nan), jnp.arange(len(depths)))
+    return min_cost, second, best
+
+
+def compute_depth_map_oneview(
+        rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
+        cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
+        *, enable_refraction: bool = True, enable_distortion: bool = True):
+    """Depth map for one reference view against one other view.
+
+    rgb_ref: [H, W, 3]; gray/masks: [H, W].  Cameras must be cast to the
+    working dtype already.  Returns depth [H, W] (NaN/inf sentinels).
+    """
+    dtype = gray_ref.dtype
+    h, w = gray_ref.shape
+    radius = cfg.window_radius
+
+    weights = compute_weights(rgb_ref, radius, cfg.weights).astype(dtype)
+    left_vals, left_valid, left_mask = _left_windows(
+        gray_ref, mask_ref, radius, use_sample=True)
+
+    ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
+                              enable_refraction=enable_refraction,
+                              enable_distortion=enable_distortion,
+                              dtype=dtype)
+    depths = depth_labels_twoview(cfg.min_depth, cfg.max_depth,
+                                  cfg.num_depth_levels, dtype=dtype)
+
+    _, pr_dir = principal_ray(cam_ref)
+    normal = pr_dir.astype(dtype)
+    center = cam_ref.C.astype(dtype)
+
+    def cost_at(d_idx):
+        depth = depths[d_idx]
+        pts, pvalid = point_from_depth(ray_o, ray_d, center, normal, depth)
+        xy, mvalid = match_points(
+            cam_oth, pts, pvalid, cfg.image_scale,
+            enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion)
+        if cfg.cost == "sad":
+            cost = sad_cost_plane(
+                gray_ref, left_vals, left_valid, left_mask,
+                gray_oth, mask_oth, weights, xy, mvalid,
+                radius=radius, max_color_diff=cfg.max_color_diff,
+                bad_ret=cfg.bad_ret)
+        else:
+            cost = twoview_cost_plane(
+                gray_ref, left_vals, left_valid, left_mask,
+                gray_oth, mask_oth, weights, xy, mvalid,
+                radius=radius, max_color_diff=cfg.max_color_diff,
+                bad_ret=cfg.bad_ret)
+        return cost, jnp.full((h, w), depth, dtype)
+
+    min_cost, second, best = _wta_scan(cost_at, depths, (h, w), dtype)
+
+    # Ambiguity rejection (twoviewstereo.cpp:304-305).
+    best = jnp.where(min_cost > cfg.second_best_factor * second,
+                     jnp.inf, best)
+    # Masked / never-touched pixels stay NaN (twoviewstereo.cpp:269-271).
+    best = jnp.where(mask_ref, best, jnp.nan)
+    return best
+
+
+def cross_check_direction(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
+                          image_scale, inconsistency_thresh, *,
+                          enable_refraction=True, enable_distortion=True):
+    """One direction of the symmetric cross-check
+    (``TwoViewStereo::crossCheck`` twoviewstereo.cpp:596-672).
+
+    Invalidates (-> inf) pixels of ``depth_a`` whose 3D point disagrees with
+    the point reconstructed from ``depth_b`` at the reprojected pixel by more
+    than ``inconsistency_thresh``.  Pixels whose own plane intersection fails
+    are left untouched (reference keeps them).
+    """
+    dtype = depth_a.dtype
+    h, w = depth_a.shape
+    hb, wb = depth_b.shape
+
+    ray_o, ray_d = pixel_rays(cam_a, h, w, image_scale,
+                              enable_refraction=enable_refraction,
+                              enable_distortion=enable_distortion,
+                              dtype=dtype)
+    _, na = principal_ray(cam_a)
+    na = na.astype(dtype)
+    ca = cam_a.C.astype(dtype)
+    _, nb = principal_ray(cam_b)
+    nb = nb.astype(dtype)
+    cb = cam_b.C.astype(dtype)
+
+    finite = jnp.isfinite(depth_a)
+    depth_safe = jnp.where(finite, depth_a, 1.0)
+
+    p1, v1 = point_from_depth(ray_o, ray_d, ca, na, depth_safe)
+    xy_full, vproj = project(cam_b, p1, enable_refraction=enable_refraction,
+                             enable_distortion=enable_distortion,
+                             quartic_iters=30)
+    x2 = xy_full[..., 0] * image_scale
+    y2 = xy_full[..., 1] * image_scale
+
+    ix = jnp.trunc(x2).astype(jnp.int32)
+    iy = jnp.trunc(y2).astype(jnp.int32)
+    contains = (x2 >= 0) & (y2 >= 0) & (x2 < wb) & (y2 < hb)
+    ixc = jnp.clip(ix, 0, wb - 1)
+    iyc = jnp.clip(iy, 0, hb - 1)
+    odepth = depth_b[iyc, ixc]
+    ofinite = jnp.isfinite(odepth)
+    odepth_safe = jnp.where(ofinite, odepth, 1.0)
+
+    # Reference unprojects at the *float* scaled coords + 0.5 pixel center.
+    oxy = jnp.stack([(x2 + 0.5) / image_scale,
+                     (y2 + 0.5) / image_scale], axis=-1)
+    ray2_o, ray2_d = unproject(cam_b, oxy,
+                               enable_refraction=enable_refraction,
+                               enable_distortion=enable_distortion)
+    p2, v2 = point_from_depth(ray2_o, ray2_d, cb, nb, odepth_safe)
+
+    norm = jnp.linalg.norm(p1 - p2, axis=-1)
+    consistent = jnp.isfinite(norm) & (norm <= inconsistency_thresh) & v2
+
+    # Failure ladder (twoviewstereo.cpp:617-633): any failed stage after a
+    # successful pointFromDepth -> inf; failed pointFromDepth -> keep.
+    reject = v1 & ~(vproj & contains & ofinite & consistent)
+    return jnp.where(finite & reject, jnp.inf, depth_a)
+
+
+def cross_check_pair(depth_l, depth_r, cam_l, cam_r, cfg: TwoViewConfig,
+                     **kw):
+    """Symmetric cross-check, replicating the reference's sequential order:
+    the right pass sees the already-invalidated left map."""
+    depth_l2 = cross_check_direction(
+        depth_l, depth_r, cam_l, cam_r, cfg.image_scale,
+        cfg.inconsistency_thresh, **kw)
+    depth_r2 = cross_check_direction(
+        depth_r, depth_l2, cam_r, cam_l, cfg.image_scale,
+        cfg.inconsistency_thresh, **kw)
+    return depth_l2, depth_r2
+
+
+def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
+                       cam_r: Camera, cfg: TwoViewConfig, *,
+                       cross_check: bool = True,
+                       enable_refraction: bool = True,
+                       enable_distortion: bool = True,
+                       dtype=jnp.float32) -> TwoViewResult:
+    """Full TwoViewStereo::computeDepthMaps flow (both views + cross-check).
+
+    rgb_*: [H, W, 3] float arrays (0..255) already scaled to working size;
+    mask_*: [H, W] bool.
+    """
+    from ..data.images import to_gray
+
+    rgb_l = jnp.asarray(rgb_l, dtype)
+    rgb_r = jnp.asarray(rgb_r, dtype)
+    mask_l = jnp.asarray(mask_l, bool)
+    mask_r = jnp.asarray(mask_r, bool)
+    gray_l = 0.11 * rgb_l[..., 0] + 0.59 * rgb_l[..., 1] + 0.3 * rgb_l[..., 2]
+    gray_r = 0.11 * rgb_r[..., 0] + 0.59 * rgb_r[..., 1] + 0.3 * rgb_r[..., 2]
+
+    cam_l = cam_l.astype(dtype)
+    cam_r = cam_r.astype(dtype)
+
+    depth_l = compute_depth_map_oneview(
+        rgb_l, gray_l, mask_l, gray_r, mask_r, cam_l, cam_r, cfg,
+        enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion)
+    depth_r = compute_depth_map_oneview(
+        rgb_r, gray_r, mask_r, gray_l, mask_l, cam_r, cam_l, cfg,
+        enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion)
+
+    if cross_check:
+        depth_l, depth_r = cross_check_pair(
+            depth_l, depth_r, cam_l, cam_r, cfg,
+            enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion)
+    return TwoViewResult(depth_left=depth_l, depth_right=depth_r)
