@@ -101,12 +101,22 @@ def twoview_cost_plane(gray_ref, left_vals, left_valid, left_mask,
     h, w = gray_ref.shape
     x2 = xy[..., 0]
     y2 = xy[..., 1]
-
     dtype = gray_ref.dtype
-    zero = jnp.zeros((h, w), dtype)
-    S_w, S_l, S_r, S_ll, S_rr, S_lr, N = (zero,) * 7
 
-    if not mvs_mode:
+    # All 121 window taps as one [S, S, H, W] tensor pass (no per-tap loop:
+    # keeps the HLO graph small and lets XLA fuse the whole reduction).
+    rows = jnp.arange(-radius, radius + 1, dtype=dtype)
+    cols = rows
+
+    lv = left_valid
+    if use_masks:
+        lv = lv & left_mask
+
+    if mvs_mode:
+        xx = x2[None, None] + cols[None, :, None, None]
+        yy = y2[None, None] + rows[:, None, None, None]
+        gr, rv = pixel_lookup(gray_oth, xx, yy)
+    else:
         # Shared-fraction bilinear: one patch gather of size (S+1, S+1)
         # covers all taps' 4 corners.
         ix0 = jnp.floor(x2).astype(jnp.int32)
@@ -114,44 +124,31 @@ def twoview_cost_plane(gray_ref, left_vals, left_valid, left_mask,
         fx = (x2 - ix0).astype(dtype)
         fy = (y2 - iy0).astype(dtype)
         patches = gather_patches(gray_oth, iy0 - radius, ix0 - radius,
-                                 size + 1)
+                                 size + 1)                 # [H, W, S+1, S+1]
+        patches = jnp.moveaxis(patches, (2, 3), (0, 1))    # [S+1, S+1, H, W]
+        gr = ((1 - fy) * (1 - fx) * patches[:size, :size]
+              + (1 - fy) * fx * patches[:size, 1:]
+              + fy * (1 - fx) * patches[1:, :size]
+              + fy * fx * patches[1:, 1:])
+        xx = x2[None, None] + cols[None, :, None, None]
+        yy = y2[None, None] + rows[:, None, None, None]
+        rv = (xx >= 0) & (yy >= 0) & (xx + 1 < w) & (yy + 1 < h)
         if use_masks:
             mask_patches = gather_patches(
                 mask_oth.astype(dtype), iy0 - radius, ix0 - radius, size)
+            rv = rv & (jnp.moveaxis(mask_patches, (2, 3), (0, 1)) > 0.5)
 
-    for s in range(size):
-        row = s - radius
-        for t in range(size):
-            col = t - radius
-            wgt = weights[s, t]
-            gl = left_vals[s, t]
-            lv = left_valid[s, t]
-            if use_masks:
-                lv = lv & left_mask[s, t]
-
-            if mvs_mode:
-                gr, rv = pixel_lookup(gray_oth, x2 + col, y2 + row)
-            else:
-                gr = ((1 - fy) * (1 - fx) * patches[..., s, t]
-                      + (1 - fy) * fx * patches[..., s, t + 1]
-                      + fy * (1 - fx) * patches[..., s + 1, t]
-                      + fy * fx * patches[..., s + 1, t + 1])
-                xx = x2 + col
-                yy = y2 + row
-                rv = (xx >= 0) & (yy >= 0) & (xx + 1 < w) & (yy + 1 < h)
-                if use_masks:
-                    rv = rv & (mask_patches[..., s, t] > 0.5)
-
-            m = (lv & rv & (wgt > _WEPS)).astype(dtype)
-            wl = wgt * gl
-            wr = wgt * gr
-            S_w = S_w + m * wgt
-            S_l = S_l + m * wl
-            S_r = S_r + m * wr
-            S_ll = S_ll + m * wl * wl
-            S_rr = S_rr + m * wr * wr
-            S_lr = S_lr + m * wl * wr
-            N = N + m
+    m = (lv & rv & (weights > _WEPS)).astype(dtype)
+    wl = weights * left_vals
+    wr = weights * gr
+    axes = (0, 1)
+    S_w = jnp.sum(m * weights, axis=axes)
+    S_l = jnp.sum(m * wl, axis=axes)
+    S_r = jnp.sum(m * wr, axis=axes)
+    S_ll = jnp.sum(m * wl * wl, axis=axes)
+    S_rr = jnp.sum(m * wr * wr, axis=axes)
+    S_lr = jnp.sum(m * wl * wr, axis=axes)
+    N = jnp.sum(m, axis=axes)
 
     have = S_w > _WEPS
     S_w_safe = jnp.where(have, S_w, 1.0)
@@ -197,25 +194,19 @@ def sad_cost_plane(gray_ref, left_vals, left_valid, left_mask,
     mask_patches = gather_patches(mask_oth.astype(dtype),
                                   iy0 - radius, ix0 - radius, size)
 
-    S = jnp.zeros((h, w), dtype)
-    S_w = jnp.zeros((h, w), dtype)
-    N = jnp.zeros((h, w), dtype)
-    for s in range(size):
-        row = s - radius
-        for t in range(size):
-            col = t - radius
-            wgt = weights[s, t]
-            gl = left_vals[s, t]
-            lv = left_valid[s, t] & left_mask[s, t]
-            # NOTE: reference cost_sad samples left bilinearly but looks the
-            # right value up with pixel() (twoviewstereo.cpp:882-885).
-            gr, rv = pixel_lookup(gray_oth, x2 + col, y2 + row)
-            rv = rv & (mask_patches[..., s, t] > 0.5)
-            m = (lv & rv & (wgt > _WEPS)).astype(dtype)
-            diff = jnp.minimum(max_color_diff, jnp.abs(gl - gr))
-            S = S + m * wgt * diff
-            S_w = S_w + m * wgt
-            N = N + m
+    rows = jnp.arange(-radius, radius + 1, dtype=dtype)
+    xx = x2[None, None] + rows[None, :, None, None]
+    yy = y2[None, None] + rows[:, None, None, None]
+    # NOTE: reference cost_sad samples left bilinearly but looks the right
+    # value up with pixel() (twoviewstereo.cpp:882-885).
+    gr, rv = pixel_lookup(gray_oth, xx, yy)
+    rv = rv & (jnp.moveaxis(mask_patches, (2, 3), (0, 1)) > 0.5)
+    lv = left_valid & left_mask
+    m = (lv & rv & (weights > _WEPS)).astype(dtype)
+    diff = jnp.minimum(max_color_diff, jnp.abs(left_vals - gr))
+    S = jnp.sum(m * weights * diff, axis=(0, 1))
+    S_w = jnp.sum(m * weights, axis=(0, 1))
+    N = jnp.sum(m, axis=(0, 1))
 
     ok = (N > 4) & (S_w > _WEPS)
     cost = jnp.where(ok, S / jnp.where(ok, S_w, 1.0), bad_ret)

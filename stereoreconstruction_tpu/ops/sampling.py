@@ -62,26 +62,32 @@ def bilinear_sample(img, x, y):
     return jnp.where(valid, out, 0.0), valid
 
 
-def shifted_windows(img, radius: int, fill=0.0):
-    """All window-shifted copies of an image.
+def window_patches(img, radius: int, fill=0.0):
+    """All window-shifted copies of an image as one XLA op.
 
     Returns ``win[S, S, H, W]`` with ``win[r+R, c+R, y, x] = img[y+r, x+c]``
-    (OOB -> ``fill``) and the matching validity mask ``[S, S, H, W]``.
-    Computed with pad+slice (no gathers).
+    (OOB -> ``fill``), via ``conv_general_dilated_patches`` on a fill-padded
+    image (one im2col op instead of S^2 pad+slice pairs — keeps the HLO graph
+    small and lets XLA tile it).
     """
+    from jax import lax
     size = 2 * radius + 1
-    padded = jnp.pad(img, radius, constant_values=fill)
-    vpad = jnp.pad(jnp.ones(img.shape, dtype=bool), radius,
-                   constant_values=False)
     h, w = img.shape
-    rows = []
-    vrows = []
-    for r in range(size):
-        cols = []
-        vcols = []
-        for c in range(size):
-            cols.append(padded[r:r + h, c:c + w])
-            vcols.append(vpad[r:r + h, c:c + w])
-        rows.append(jnp.stack(cols))
-        vrows.append(jnp.stack(vcols))
-    return jnp.stack(rows), jnp.stack(vrows)
+    dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) \
+        else jnp.float32
+    padded = jnp.pad(img.astype(dtype), radius, constant_values=fill)
+    patches = lax.conv_general_dilated_patches(
+        padded[None, None], (size, size), window_strides=(1, 1),
+        padding="VALID")          # [1, S*S, H, W]
+    return patches.reshape(size, size, h, w)
+
+
+def shifted_windows(img, radius: int, fill=0.0):
+    """``window_patches`` + validity mask ``[S, S, H, W]`` (False where the
+    window pixel falls outside the image)."""
+    win = window_patches(img, radius, fill=fill)
+    vwin = window_patches(jnp.ones(img.shape, jnp.float32), radius,
+                          fill=0.0) > 0.5
+    if img.dtype == jnp.bool_:
+        win = win > 0.5
+    return win, vwin

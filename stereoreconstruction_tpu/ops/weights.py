@@ -22,15 +22,13 @@ in the cost volume is a cheap contiguous slice.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from .sampling import shifted_windows
+from .sampling import shifted_windows, window_patches
 
-_BIG = 1000000.0
-
-# Sweep kernels (geodesicweight.cpp:40-41), stored as (dx, dy) pairs.
-_K_FWD = ((-1, -1), (0, -1), (1, -1), (-1, 0))
-_K_BWD = ((-1, 1), (0, 1), (1, 1), (1, 0))
+_BIG = 1000000.0        # reference's init value (geodesicweight.cpp:68)
+_BREAK = 1e9            # "no edge" cost: breaks min-plus chains
 
 
 def _window_colors(rgb, radius):
@@ -41,75 +39,118 @@ def _window_colors(rgb, radius):
     chans = []
     valid = None
     for ch in range(3):
-        w, v = shifted_windows(rgb[..., ch], radius, fill=jnp.nan)
+        w, v = shifted_windows(rgb[..., ch], radius, fill=0.0)
         chans.append(w)
         valid = v
     return jnp.stack(chans, axis=-1), valid
+
+
+def _neighbor_dist_map(rgb, dx, dy):
+    """Image-level color distance to the (dx, dy) neighbor: ``[H, W]`` with
+    _BREAK where the neighbor (or the pixel itself, after windowing) is OOB.
+    """
+    h, w = rgb.shape[:2]
+    big = jnp.asarray(_BREAK, rgb.dtype)
+    pad = jnp.pad(rgb, ((1, 1), (1, 1), (0, 0)))
+    vpad = jnp.pad(jnp.ones((h, w), bool), 1, constant_values=False)
+    nb = pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    nv = vpad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    delta = nb - rgb
+    d = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    return jnp.where(nv, d, big)
 
 
 def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3):
     """Geodesic support weights for every pixel window simultaneously.
 
     rgb: [H, W, 3] in 0..255.  Returns ``[S, S, H, W]`` weights in [0, 1].
+
+    TPU formulation: the reference's forward/backward raster sweeps
+    (geodesicweight.cpp:73-125) have an exact row-decomposition — each window
+    row first takes min-plus candidates from the (already final) previous
+    row, and the within-row left-to-right recurrence
+    ``v[t] = min(u[t], v[t-1] + d[t])`` has the closed form
+    ``v = D + cummin(u - D)`` with ``D = prefix-sum(d)``, which vectorizes
+    over every pixel and window column at once.  Chain "breaks" (window pixel
+    off-image) use a large finite cost; the cumsum/cummin runs in f64 so the
+    break offsets cannot round away genuine distance differences.
     """
     size = 2 * radius + 1
-    win, valid = _window_colors(rgb, radius)
-    win = jnp.where(valid[..., None], win, 0.0)
+    h, w = rgb.shape[:2]
+    dtype = rgb.dtype
 
-    # Color distances to each sweep neighbor, per window position.
-    # diff[d][s][t] = ||win[s+dy, t+dx] - win[s, t]|| where (dx, dy) = dir d;
-    # invalid if the neighbor leaves the window or either pixel leaves the
-    # image (reference: pixel() OOB -> INVALID, geodesicweight.cpp:77-96).
-    dirs = tuple(dict.fromkeys(_K_FWD + _K_BWD))
-    diff = {}
-    nvalid = {}
-    for (dx, dy) in dirs:
-        d = jnp.full((size, size) + rgb.shape[:2], jnp.inf, rgb.dtype)
-        nv = jnp.zeros((size, size) + rgb.shape[:2], bool)
-        s_lo, s_hi = max(0, -dy), min(size, size - dy)
-        t_lo, t_hi = max(0, -dx), min(size, size - dx)
-        delta = (win[s_lo + dy:s_hi + dy, t_lo + dx:t_hi + dx]
-                 - win[s_lo:s_hi, t_lo:t_hi])
-        dd = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
-        vv = (valid[s_lo + dy:s_hi + dy, t_lo + dx:t_hi + dx]
-              & valid[s_lo:s_hi, t_lo:t_hi])
-        d = d.at[s_lo:s_hi, t_lo:t_hi].set(jnp.where(vv, dd, jnp.inf))
-        nv = nv.at[s_lo:s_hi, t_lo:t_hi].set(vv)
-        diff[(dx, dy)] = d
-        nvalid[(dx, dy)] = nv
+    # Windowed neighbor-distance maps, one per sweep direction:
+    # wd[(dx,dy)][s, t] = distance between window pixel (s,t) and its
+    # (dx,dy) neighbor, _BREAK when either is off-image or off-window.
+    dirs = ((-1, -1), (0, -1), (1, -1), (-1, 0),
+            (-1, 1), (0, 1), (1, 1), (1, 0))
+    wd = {d: window_patches(_neighbor_dist_map(rgb, *d), radius, fill=_BREAK)
+          for d in dirs}
 
-    # State: one [H, W] plane per window position (kept as a python grid so
-    # each sequential update touches a single plane, not the full tensor).
-    w = [[jnp.full(rgb.shape[:2], _BIG, rgb.dtype) for _ in range(size)]
-         for _ in range(size)]
-    w[radius][radius] = jnp.zeros(rgb.shape[:2], rgb.dtype)
+    # Window-pixel (center) validity per position: [S, S, H, W].
+    _, valid = shifted_windows(rgb[..., 0], radius)
 
-    center_valid = valid  # [S, S, H, W]
+    # State: one [S(t), H, W] plane per window row.
+    rows = [jnp.full((size, h, w), _BIG, dtype) for _ in range(size)]
+    rows[radius] = rows[radius].at[radius].set(0.0)
 
-    def sweep(w, order, kernel):
-        for s, t in order:
-            cand = w[s][t]
-            for (dx, dy) in kernel:
-                ns, nt = s + dy, t + dx
-                if not (0 <= ns < size and 0 <= nt < size):
-                    continue
-                step = diff[(dx, dy)][s, t]
-                ok = nvalid[(dx, dy)][s, t]
-                cand = jnp.where(ok, jnp.minimum(cand, w[ns][nt] + step),
-                                 cand)
-            # Only update where the window pixel itself is a valid image
-            # pixel (geodesicweight.cpp:77-79).
-            w[s][t] = jnp.where(center_valid[s, t], cand, w[s][t])
-        return w
+    big = jnp.asarray(_BREAK, dtype)
 
-    fwd_order = [(s, t) for s in range(size) for t in range(size)]
-    bwd_order = fwd_order[::-1]
+    def shift_t(x, dx):
+        """x[t] -> x[t + dx] along the window-column axis, _BREAK fill."""
+        if dx == -1:
+            return jnp.concatenate([jnp.full((1, h, w), _BREAK, x.dtype),
+                                    x[:-1]], axis=0)
+        if dx == 1:
+            return jnp.concatenate([x[1:],
+                                    jnp.full((1, h, w), _BREAK, x.dtype)],
+                                   axis=0)
+        return x
+
+    def chain(u, d, reverse):
+        """Closed-form sequential min-plus along the window-column axis."""
+        u64 = u.astype(jnp.float64)
+        d64 = d.astype(jnp.float64)
+        if not reverse:
+            dd = jnp.concatenate([jnp.zeros((1, h, w), jnp.float64),
+                                  d64[1:]], axis=0)
+            D = jnp.cumsum(dd, axis=0)
+        else:
+            dd = jnp.concatenate([d64[:-1],
+                                  jnp.zeros((1, h, w), jnp.float64)], axis=0)
+            D = jnp.cumsum(dd[::-1], axis=0)[::-1]
+        v = D + jax.lax.cummin(u64 - D, axis=0, reverse=reverse)
+        return v.astype(u.dtype)
+
+    def fwd_row(rows, s):
+        u = rows[s]
+        if s > 0:
+            for dx in (-1, 0, 1):
+                cand = shift_t(rows[s - 1], dx) + wd[(dx, -1)][s]
+                u = jnp.minimum(u, cand)
+        u = jnp.where(valid[s], u, rows[s])
+        # within-row: left neighbor, d[t] = dist((s,t), (s,t-1))
+        v = chain(u, wd[(-1, 0)][s], reverse=False)
+        return jnp.where(valid[s], v, u)
+
+    def bwd_row(rows, s):
+        u = rows[s]
+        if s < size - 1:
+            for dx in (-1, 0, 1):
+                cand = shift_t(rows[s + 1], dx) + wd[(dx, 1)][s]
+                u = jnp.minimum(u, cand)
+        u = jnp.where(valid[s], u, rows[s])
+        v = chain(u, wd[(1, 0)][s], reverse=True)
+        return jnp.where(valid[s], v, u)
+
     for _ in range(iters):
-        w = sweep(w, fwd_order, _K_FWD)
-        w = sweep(w, bwd_order, _K_BWD)
+        for s in range(size):
+            rows[s] = fwd_row(rows, s)
+        for s in range(size - 1, -1, -1):
+            rows[s] = bwd_row(rows, s)
 
-    stacked = jnp.stack([jnp.stack(row) for row in w])
-    return jnp.exp(-stacked / sigma)
+    stacked = jnp.stack(rows)          # [S(row), S(col), H, W]
+    return jnp.exp(-jnp.minimum(stacked, _BIG) / sigma)
 
 
 def adaptive_weights(rgb, radius: int, color_sigma: float = 10.0):

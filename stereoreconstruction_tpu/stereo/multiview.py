@@ -1,0 +1,298 @@
+"""Multi-view stereo engine — Campbell et al. 2009 "Using Multiple
+Hypotheses to Improve Depth-Maps for Multi-View Stereo".
+
+TPU-native re-design of ``MultiViewStereo`` (stereo/multiviewstereo.cpp):
+
+* neighbour selection: for each view, the ≤3 closest cameras whose principal
+  rays satisfy |dot| > 0.2 (multiviewstereo.cpp:335-360) — host-side numpy.
+* initial estimate: uniform depth sweep, raw-NCC cost (radius 2, no mask
+  checks — multiviewstereo.cpp:113-189) against every neighbour view; a
+  sample is a *peak* when NCC > 0.95 (multiviewstereo.cpp:589); the WTA path
+  takes the best peak (ties -> larger depth, matching ``std::sort`` on
+  (cost, depth) pairs + ``peaks.back()``, multiviewstereo.cpp:600-658) and
+  falls back to the reference's quirky ``-1`` sentinel when no peak exists
+  (the K default (0, -1) pairs).  The full top-K hypothesis volume for the
+  TRW-S path is produced by ``top_k_peaks``.
+* cross-check: a depth survives if *any* other view agrees within
+  ``crossCheckThreshold`` (multiviewstereo.cpp:666-729); sequential over
+  views (later views see earlier invalidations), failures -> NaN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import MultiViewConfig
+from ..geometry.camera import Camera, project, unproject, principal_ray
+from ..ops.ncc import _left_windows, twoview_cost_plane
+from ..ops.weights import compute_weights
+from .depthsweep import (
+    depth_labels_uniform,
+    pixel_rays,
+    point_from_depth,
+    match_points,
+)
+
+
+def select_neighbours(cams: Sequence[Camera],
+                      cfg: MultiViewConfig) -> List[List[int]]:
+    """Per-view neighbour indices (multiviewstereo.cpp:335-360)."""
+    dirs = [np.asarray(principal_ray(c)[1]) for c in cams]
+    centers = [np.asarray(c.C) for c in cams]
+    out = []
+    for i in range(len(cams)):
+        cands = []
+        for j in range(len(cams)):
+            if i == j:
+                continue
+            if abs(float(dirs[i] @ dirs[j])) > cfg.view_angle_cos_min:
+                d = float(np.sum((centers[i] - centers[j]) ** 2))
+                cands.append((d, j))
+        cands.sort()
+        out.append([j for _, j in cands[:cfg.num_neighbouring_views]])
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_neighbours", "enable_refraction",
+                     "enable_distortion", "with_topk"))
+def mvs_initial_estimate_oneview(
+        rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
+        cam_ref: Camera, cams_nbr: Camera, cfg: MultiViewConfig,
+        n_neighbours: int, *, enable_refraction=True,
+        enable_distortion=True, with_topk=False):
+    """Initial depth hypothesis for one view against its stacked neighbours.
+
+    grays_nbr/masks_nbr: [N, H, W]; cams_nbr: Camera pytree with leading
+    axis N.  Returns depth [H, W] (WTA over peaks; -1 when no peak; INF
+    start value outside peaks per multiviewstereo.cpp:559) and, when
+    ``with_topk``, the (ncc, depth) top-K hypothesis volume
+    ``[K, H, W] x 2`` sorted ascending (peaks padded with (0, -1)).
+    """
+    dtype = gray_ref.dtype
+    h, w = gray_ref.shape
+    radius = cfg.window_radius
+
+    weights = compute_weights(rgb_ref, radius, cfg.weights).astype(dtype)
+    left_vals, left_valid, left_mask = _left_windows(
+        gray_ref, mask_ref, radius, use_sample=False)
+
+    ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
+                              enable_refraction=enable_refraction,
+                              enable_distortion=enable_distortion,
+                              dtype=dtype)
+    depths = depth_labels_uniform(cfg.min_depth, cfg.max_depth,
+                                  cfg.num_depth_levels, dtype=dtype)
+    _, pr_dir = principal_ray(cam_ref)
+    normal = pr_dir.astype(dtype)
+    center = cam_ref.C.astype(dtype)
+
+    def plane_cost(d_idx):
+        """NCC against all neighbours for one depth: [N, H, W]."""
+        depth = depths[d_idx]
+        pts, pvalid = point_from_depth(ray_o, ray_d, center, normal, depth)
+
+        def one_nbr(gray_o, mask_o, cam_o):
+            xy, mvalid = match_points(
+                cam_o, pts, pvalid, cfg.image_scale,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion)
+            # No mask checks in the MVS cost (the #if 0 blocks at
+            # multiviewstereo.cpp:124-130, 159-165).
+            return twoview_cost_plane(
+                gray_ref, left_vals, left_valid, left_mask,
+                gray_o, mask_o, weights, xy, mvalid,
+                radius=radius, mvs_mode=True, use_masks=False)
+
+        return jax.vmap(one_nbr)(grays_nbr, masks_nbr, cams_nbr)
+
+    thr = cfg.ncc_threshold
+
+    if not with_topk:
+        # WTA over peaks: max NCC among samples > thr; ties -> larger depth.
+        def body(carry, d_idx):
+            best_ncc, best_depth = carry
+            ncc = plane_cost(d_idx)                      # [N, H, W]
+            depth = depths[d_idx]
+            ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
+            ncc_max = jnp.max(ncc, axis=0)               # over neighbours
+            # >= : equal cost at a later (larger) depth wins, matching
+            # peaks.back() after a stable sort by (cost, depth).
+            better = ncc_max >= best_ncc
+            best_depth = jnp.where(better, depth, best_depth)
+            best_ncc = jnp.where(better, ncc_max, best_ncc)
+            return (best_ncc, best_depth), ()
+
+        init = (jnp.full((h, w), -jnp.inf, dtype),
+                jnp.full((h, w), -1.0, dtype))
+        (best_ncc, best_depth), _ = lax.scan(
+            body, init, jnp.arange(cfg.num_depth_levels))
+        depth_map = jnp.where(jnp.isfinite(best_ncc), best_depth, -1.0)
+        # masked pixels keep the INF initialization (mvs cpp:559-566)
+        depth_map = jnp.where(mask_ref, depth_map, jnp.inf)
+        return depth_map
+
+    # Top-K hypothesis volume for the MRF path.
+    K = cfg.top_k
+
+    def body(carry, d_idx):
+        top_ncc, top_depth = carry                       # [K, H, W]
+        ncc = plane_cost(d_idx)                          # [N, H, W]
+        depth = depths[d_idx]
+        ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
+        cand_n = jnp.max(ncc, axis=0)
+        # NOTE: multiple neighbours can each contribute a peak at the same
+        # depth; we keep the best per depth label (the hypothesis set is a
+        # depth set, duplicates carry no extra information for the MRF).
+        cand_d = jnp.full((h, w), depth, dtype)
+        # insert (cand_n, cand_d) into the ascending top-K
+        stack_n = jnp.concatenate([top_ncc, cand_n[None]], axis=0)
+        stack_d = jnp.concatenate([top_depth, cand_d[None]], axis=0)
+        order = jnp.argsort(stack_n, axis=0)
+        stack_n = jnp.take_along_axis(stack_n, order, axis=0)
+        stack_d = jnp.take_along_axis(stack_d, order, axis=0)
+        return (stack_n[1:], stack_d[1:]), ()
+
+    init = (jnp.full((K, h, w), -jnp.inf, dtype),
+            jnp.full((K, h, w), -1.0, dtype))
+    (top_ncc, top_depth), _ = lax.scan(
+        body, init, jnp.arange(cfg.num_depth_levels))
+    top_ncc = jnp.where(jnp.isfinite(top_ncc), top_ncc, 0.0)
+    return top_ncc, top_depth
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "enable_refraction", "enable_distortion"))
+def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
+                            cam_ref: Camera, cams_all: Camera,
+                            cfg: MultiViewConfig, *,
+                            enable_refraction=True, enable_distortion=True):
+    """Any-view cross-check for one view (multiviewstereo.cpp:666-729).
+
+    depths_all: [V, H, W] current state of every view's map (including this
+    one — it is skipped by index).  Returns the updated depth_ref.
+    """
+    dtype = depth_ref.dtype
+    h, w = depth_ref.shape
+    n_views = depths_all.shape[0]
+
+    ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
+                              enable_refraction=enable_refraction,
+                              enable_distortion=enable_distortion,
+                              dtype=dtype)
+    _, na = principal_ray(cam_ref)
+    na = na.astype(dtype)
+
+    finite = jnp.isfinite(depth_ref)
+    depth_safe = jnp.where(finite, depth_ref, 1.0)
+    p1, v1 = point_from_depth(ray_o, ray_d, cam_ref.C.astype(dtype), na,
+                              depth_safe)
+
+    def check_view(j):
+        cam_o = jax.tree.map(lambda x: x[j], cams_all)
+        depth_o = depths_all[j]
+        xy_full, vproj = project(cam_o, p1,
+                                 enable_refraction=enable_refraction,
+                                 enable_distortion=enable_distortion,
+                                 quartic_iters=30)
+        x2 = xy_full[..., 0] * cfg.image_scale
+        y2 = xy_full[..., 1] * cfg.image_scale
+        contains = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
+        ix = jnp.clip(jnp.trunc(x2).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.trunc(y2).astype(jnp.int32), 0, h - 1)
+        od = depth_o[iy, ix]
+        ofinite = jnp.isfinite(od)
+        od_safe = jnp.where(ofinite, od, 1.0)
+        oxy = jnp.stack([(x2 + 0.5) / cfg.image_scale,
+                         (y2 + 0.5) / cfg.image_scale], axis=-1)
+        r2o, r2d = unproject(cam_o, oxy,
+                             enable_refraction=enable_refraction,
+                             enable_distortion=enable_distortion)
+        _, nb = principal_ray(cam_o)
+        p2, v2 = point_from_depth(r2o, r2d, cam_o.C.astype(dtype),
+                                  nb.astype(dtype), od_safe)
+        norm = jnp.linalg.norm(p1 - p2, axis=-1)
+        agree = (vproj & contains & ofinite & v2
+                 & jnp.isfinite(norm) & (norm < cfg.cross_check_threshold))
+        return agree & (j != view_index)
+
+    found = jnp.zeros((h, w), bool)
+    for j in range(n_views):
+        found = found | check_view(j)
+
+    # pointFromDepth failure for the reference pixel -> keep as is.
+    return jnp.where(finite & v1 & ~found, jnp.nan, depth_ref)
+
+
+def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
+                   cfg: MultiViewConfig, *, cross_check=True,
+                   enable_refraction=True, enable_distortion=True,
+                   dtype=jnp.float32):
+    """Full MultiViewStereo::runTask flow (WTA path).
+
+    rgbs: [V, H, W, 3] numpy/jnp (0..255); masks: [V, H, W] bool.
+    Returns depths [V, H, W].
+    """
+    n_views = len(cams)
+    neighbours = select_neighbours(cams, cfg)
+    cams = [c.astype(dtype) for c in cams]
+
+    rgbs = jnp.asarray(rgbs, dtype)
+    masks = jnp.asarray(masks, bool)
+    grays = (0.11 * rgbs[..., 0] + 0.59 * rgbs[..., 1]
+             + 0.3 * rgbs[..., 2])
+
+    depths = []
+    for i in range(n_views):
+        nbr = neighbours[i]
+        cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[cams[j] for j in nbr])
+        d = mvs_initial_estimate_oneview(
+            rgbs[i], grays[i], masks[i],
+            grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
+            cams[i], cams_nbr, cfg, len(nbr),
+            enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion)
+        depths.append(d)
+
+    if cross_check:
+        cams_all = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        for i in range(n_views):
+            stacked = jnp.stack(depths)
+            depths[i] = mvs_cross_check_oneview(
+                depths[i], stacked, i, cams[i], cams_all, cfg,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion)
+    return jnp.stack(depths)
+
+
+def depth_maps_to_ply(depths, rgbs, cams: Sequence[Camera],
+                      cfg: MultiViewConfig, *, enable_refraction=True,
+                      enable_distortion=True):
+    """Back-project valid depth pixels into a colored world point cloud
+    (library-level equivalent of ``outputPLYFile`` consumers)."""
+    pts_all = []
+    rgb_all = []
+    for i, cam in enumerate(cams):
+        d = np.asarray(depths[i])
+        h, w = d.shape
+        ray_o, ray_d = pixel_rays(cam, h, w, cfg.image_scale,
+                                  enable_refraction=enable_refraction,
+                                  enable_distortion=enable_distortion,
+                                  dtype=jnp.float64)
+        _, nrm = principal_ray(cam)
+        pts, v = point_from_depth(ray_o, ray_d, cam.C, nrm,
+                                  jnp.asarray(d, jnp.float64))
+        good = (np.isfinite(d) & (d + 1e-5 >= cfg.min_depth)
+                & np.asarray(v))
+        pts_all.append(np.asarray(pts)[good])
+        rgb_all.append(np.asarray(rgbs[i])[good])
+    return np.concatenate(pts_all), np.concatenate(rgb_all)

@@ -199,6 +199,10 @@ def cross_check_pair(depth_l, depth_r, cam_l, cam_r, cfg: TwoViewConfig,
     return depth_l2, depth_r2
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "cross_check", "enable_refraction",
+                     "enable_distortion", "dtype"))
 def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
                        cam_r: Camera, cfg: TwoViewConfig, *,
                        cross_check: bool = True,
@@ -208,10 +212,9 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     """Full TwoViewStereo::computeDepthMaps flow (both views + cross-check).
 
     rgb_*: [H, W, 3] float arrays (0..255) already scaled to working size;
-    mask_*: [H, W] bool.
+    mask_*: [H, W] bool.  Jitted end-to-end; ``cfg`` (hashable frozen
+    dataclass) is a static argument, so each distinct config compiles once.
     """
-    from ..data.images import to_gray
-
     rgb_l = jnp.asarray(rgb_l, dtype)
     rgb_r = jnp.asarray(rgb_r, dtype)
     mask_l = jnp.asarray(mask_l, bool)

@@ -375,6 +375,142 @@ def oracle_depth_map_oneview(rgb_ref, mask_ref, rgb_oth, mask_oth,
     return depth
 
 
+def oracle_cost_ncc_mvs(img1, img2, weights, x1, y1, x2, y2, radius):
+    """multiviewstereo.cpp:113-189: pixel() lookups, no mask checks."""
+    meanL = meanR = total = 0.0
+    for row in range(-radius, radius + 1):
+        for col in range(-radius, radius + 1):
+            lrgb = pixel(img1, x1 + col, y1 + row)
+            if lrgb is None:
+                continue
+            rrgb = pixel(img2, x2 + col, y2 + row)
+            if rrgb is None:
+                continue
+            wgt = weights[row + radius, col + radius]
+            if wgt > WEPS:
+                meanL += wgt * to_gray(lrgb)
+                meanR += wgt * to_gray(rrgb)
+                total += wgt
+    if total < WEPS:
+        return 0.0
+    meanL /= total
+    meanR /= total
+    s1 = s2 = s3 = 0.0
+    for row in range(-radius, radius + 1):
+        for col in range(-radius, radius + 1):
+            lrgb = pixel(img1, x1 + col, y1 + row)
+            if lrgb is None:
+                continue
+            rrgb = pixel(img2, x2 + col, y2 + row)
+            if rrgb is None:
+                continue
+            wgt = weights[row + radius, col + radius]
+            if wgt > WEPS:
+                gl = wgt * to_gray(lrgb)
+                gr = wgt * to_gray(rrgb)
+                s1 += (gl - meanL) * (gr - meanR)
+                s2 += (gl - meanL) * (gl - meanL)
+                s3 += (gr - meanR) * (gr - meanR)
+    if s2 * s3 < WEPS:
+        return 0.0
+    return s1 / np.sqrt(s2 * s3)
+
+
+def mvs_depth_from_label(label, num_levels, min_depth, max_depth):
+    """Uniform sampling (multiviewstereo.cpp:733-736)."""
+    t = label / (num_levels - 1.0)
+    return min_depth * (1 - t) + max_depth * t
+
+
+def oracle_mvs_oneview(rgbs, masks, cams, view_index, neighbours, cfg):
+    """Dense-sweep analog of computeInitialEstimate (multiviewstereo.cpp:
+    524-662): per pixel, collect NCC>thr peaks over (neighbour, depth)
+    samples, WTA = best peak (ties -> larger depth), -1 when none."""
+    rgb_ref = rgbs[view_index]
+    mask_ref = masks[view_index]
+    cam = cams[view_index]
+    h, w = rgb_ref.shape[:2]
+    depth = np.full((h, w), INF)
+    C, pr_dir = cam.principal_ray()
+    for y in range(h):
+        for x in range(w):
+            if not mask_ref[y, x]:
+                continue
+            weights = oracle_geodesic_weights(
+                rgb_ref, x, y, cfg.window_radius,
+                cfg.weights.geodesic_sigma, cfg.weights.geodesic_iters)
+            ro, rd = oracle_unproject(cam, (x + 0.5) / cfg.image_scale,
+                                      (y + 0.5) / cfg.image_scale)
+            peaks = [(0.0, -1.0)] * cfg.top_k
+            for j in neighbours:
+                for lab in range(cfg.num_depth_levels):
+                    dep = mvs_depth_from_label(
+                        lab, cfg.num_depth_levels, cfg.min_depth,
+                        cfg.max_depth)
+                    pt = point_from_depth(ro, rd, pr_dir, dep, cam.C)
+                    if pt is None:
+                        continue
+                    px, py, ok = oracle_project(cams[j], pt)
+                    if not ok:
+                        continue
+                    x2 = px * cfg.image_scale - 0.5
+                    y2 = py * cfg.image_scale - 0.5
+                    c = oracle_cost_ncc_mvs(rgb_ref, rgbs[j], weights,
+                                            x, y, x2, y2, cfg.window_radius)
+                    if c > cfg.ncc_threshold:
+                        peaks.append((c, dep))
+            peaks.sort()
+            depth[y, x] = peaks[-1][1]
+    return depth
+
+
+def oracle_mvs_cross_check(depths, cams, cfg):
+    """multiviewstereo.cpp:666-729, sequential over views."""
+    depths = [d.copy() for d in depths]
+    for i, cam in enumerate(cams):
+        h, w = depths[i].shape
+        _, na = cam.principal_ray()
+        for y in range(h):
+            for x in range(w):
+                d = depths[i][y, x]
+                if not np.isfinite(d):
+                    continue
+                ro, rd = oracle_unproject(cam, (x + 0.5) / cfg.image_scale,
+                                          (y + 0.5) / cfg.image_scale)
+                p1 = point_from_depth(ro, rd, na, d, cam.C)
+                if p1 is None:
+                    continue
+                found = False
+                for j, ocam in enumerate(cams):
+                    if j == i:
+                        continue
+                    px, py, ok = oracle_project(ocam, p1)
+                    if not ok:
+                        continue
+                    x2 = px * cfg.image_scale
+                    y2 = py * cfg.image_scale
+                    hb, wb = depths[j].shape
+                    if not (0 <= x2 < wb and 0 <= y2 < hb):
+                        continue
+                    od = depths[j][int(y2), int(x2)]
+                    if not np.isfinite(od):
+                        continue
+                    r2o, r2d = oracle_unproject(
+                        ocam, (x2 + 0.5) / cfg.image_scale,
+                        (y2 + 0.5) / cfg.image_scale)
+                    _, nb = ocam.principal_ray()
+                    p2 = point_from_depth(r2o, r2d, nb, od, ocam.C)
+                    if p2 is None:
+                        continue
+                    nrm = np.linalg.norm(p1 - p2)
+                    if np.isfinite(nrm) and nrm < cfg.cross_check_threshold:
+                        found = True
+                        break
+                if not found:
+                    depths[i][y, x] = NAN
+    return depths
+
+
 def oracle_cross_check(depth_l, depth_r, cam_l: OracleCamera,
                        cam_r: OracleCamera, cfg):
     """twoviewstereo.cpp:596-672 (sequential: right pass sees updated
