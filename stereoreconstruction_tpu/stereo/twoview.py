@@ -65,6 +65,9 @@ def _wta_scan(cost_fn, depths, init_shape, dtype):
     return min_cost, second, best
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "enable_refraction", "enable_distortion"))
 def compute_depth_map_oneview(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
         cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
@@ -186,6 +189,9 @@ def cross_check_direction(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
     return jnp.where(finite & reject, jnp.inf, depth_a)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "enable_refraction", "enable_distortion"))
 def cross_check_pair(depth_l, depth_r, cam_l, cam_r, cfg: TwoViewConfig,
                      **kw):
     """Symmetric cross-check, replicating the reference's sequential order:
@@ -199,10 +205,6 @@ def cross_check_pair(depth_l, depth_r, cam_l, cam_r, cfg: TwoViewConfig,
     return depth_l2, depth_r2
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "cross_check", "enable_refraction",
-                     "enable_distortion", "dtype"))
 def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
                        cam_r: Camera, cfg: TwoViewConfig, *,
                        cross_check: bool = True,
@@ -212,8 +214,9 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     """Full TwoViewStereo::computeDepthMaps flow (both views + cross-check).
 
     rgb_*: [H, W, 3] float arrays (0..255) already scaled to working size;
-    mask_*: [H, W] bool.  Jitted end-to-end; ``cfg`` (hashable frozen
-    dataclass) is a static argument, so each distinct config compiles once.
+    mask_*: [H, W] bool.  The two stages are separately jitted modules so
+    the left and right views share one compiled executable and the
+    persistent compilation cache can reuse each stage across entry points.
     """
     rgb_l = jnp.asarray(rgb_l, dtype)
     rgb_r = jnp.asarray(rgb_r, dtype)
