@@ -1,0 +1,249 @@
+"""Multi-camera rig calibration from checkerboard features.
+
+Re-implements ``CameraCalibration`` (stereo/calibrate.cpp) with our own
+Zhang/LM stack instead of OpenCV:
+
+* gather per-(camera, image-set) corner features (calibrate.cpp:694-716),
+* RANSAC-style keep-best loop over NUM_ITERATIONS random 2/3 subsets
+  (calibrate.cpp:756-822; seeded RNG for reproducibility),
+* ``estimate_intrinsics``: per camera over its complete boards
+  (calibrate.cpp:333-413),
+* ``estimate_extrinsics``: pairwise relative poses + error graph ->
+  Floyd-Warshall best reference frame -> chained global poses
+  (calibrate.cpp:417-573),
+* ``compute_error``: mean symmetric reprojection error of pairwise
+  ray-triangulated corners (calibrate.cpp:284-329),
+* optional full-rig bundle adjustment via the Schur-complement solver
+  (upgrade of the SBA path, calibrate.cpp:577-683).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import CalibrationConfig
+from ..geometry.camera import Camera, make_camera
+from ..geometry.rays import closest_points
+from .zhang import calibrate_camera, stereo_calibrate
+from .floydwarshall import FloydWarshall
+
+
+def board_object_points(cfg: CalibrationConfig) -> np.ndarray:
+    """Board corner grid (calibrate.cpp:256-262): row-major, z = 0."""
+    pts = []
+    for r in range(cfg.board_rows):
+        for c in range(cfg.board_cols):
+            pts.append([cfg.cell_size * c, cfg.cell_size * r, 0.0])
+    return np.asarray(pts, np.float64)
+
+
+@dataclass
+class RigCalibrationState:
+    """Per-camera calibration being built (K, dist, R, t)."""
+    K: List[np.ndarray]
+    dist: List[np.ndarray]
+    R: List[np.ndarray]
+    t: List[np.ndarray]
+
+    @staticmethod
+    def identity(n: int) -> "RigCalibrationState":
+        return RigCalibrationState(
+            K=[np.eye(3) for _ in range(n)],
+            dist=[np.zeros(5) for _ in range(n)],
+            R=[np.eye(3) for _ in range(n)],
+            t=[np.zeros(3) for _ in range(n)])
+
+    def copy(self) -> "RigCalibrationState":
+        return RigCalibrationState(
+            K=[k.copy() for k in self.K], dist=[d.copy() for d in self.dist],
+            R=[r.copy() for r in self.R], t=[t.copy() for t in self.t])
+
+    def camera(self, i: int) -> Camera:
+        return make_camera(self.K[i], self.R[i], self.t[i],
+                           dist=self.dist[i])
+
+
+@dataclass
+class RigCalibrationResult:
+    state: RigCalibrationState
+    error: float
+    per_iteration_errors: List[float]
+
+
+class CameraCalibration:
+    """image_points[cam][set] = [M, 2] array or None (board not detected)."""
+
+    def __init__(self, image_points: List[List[Optional[np.ndarray]]],
+                 image_sizes: List[Tuple[int, int]],
+                 cfg: CalibrationConfig = CalibrationConfig(),
+                 find_extrinsics: bool = True):
+        self.image_points = image_points
+        self.image_sizes = image_sizes
+        self.cfg = cfg
+        self.find_extrinsics = find_extrinsics
+        self.n_cams = len(image_points)
+        self.n_sets = len(image_points[0]) if self.n_cams else 0
+        self.obj = board_object_points(cfg)
+        self.n_corners = len(self.obj)
+
+    # -- error metric (calibrate.cpp:284-329) --------------------------------
+
+    def compute_error(self, state: RigCalibrationState) -> float:
+        total = 0.0
+        count = 0
+        cams = [state.camera(i) for i in range(self.n_cams)]
+        import jax.numpy as jnp
+        from ..geometry.camera import unproject, project
+
+        for a in range(self.n_cams):
+            for b in range(a + 1, self.n_cams):
+                for s in range(self.n_sets):
+                    pa = self.image_points[a][s]
+                    pb = self.image_points[b][s]
+                    if (pa is None or pb is None
+                            or len(pa) != self.n_corners
+                            or len(pb) != self.n_corners):
+                        continue
+                    count += self.n_corners
+                    o1, d1 = unproject(cams[a], jnp.asarray(pa))
+                    o2, d2 = unproject(cams[b], jnp.asarray(pb))
+                    q1, q2 = closest_points(o1, d1, o2, d2)
+                    mid = 0.5 * (np.asarray(q1) + np.asarray(q2))
+                    xy_a, va = project(cams[a], jnp.asarray(mid))
+                    xy_b, vb = project(cams[b], jnp.asarray(mid))
+                    ok = np.asarray(va) & np.asarray(vb)
+                    da = np.linalg.norm(np.asarray(xy_a) - pa, axis=-1)
+                    db = np.linalg.norm(np.asarray(xy_b) - pb, axis=-1)
+                    d = np.where(ok, 0.5 * (da + db), 0.0)
+                    d = np.where(np.isfinite(d), d, 0.0)
+                    total += float(d.sum())
+        if count == 0:
+            return np.inf
+        return total / count
+
+    # -- stages --------------------------------------------------------------
+
+    def estimate_intrinsics(self, state: RigCalibrationState,
+                            set_indices: Sequence[int]) -> None:
+        for ci in range(self.n_cams):
+            views = [self.image_points[ci][s] for s in set_indices
+                     if self.image_points[ci][s] is not None
+                     and len(self.image_points[ci][s]) == self.n_corners]
+            if not views:
+                continue
+            res = calibrate_camera(self.obj, views, self.image_sizes[ci])
+            state.K[ci] = res.K
+            state.dist[ci] = res.dist
+
+    def estimate_extrinsics(self, state: RigCalibrationState,
+                            set_indices: Sequence[int]) -> None:
+        n = self.n_cams
+        graph = np.full((n, n), np.inf)
+        R_rel: Dict[Tuple[int, int], np.ndarray] = {}
+        t_rel: Dict[Tuple[int, int], np.ndarray] = {}
+
+        for a in range(n):
+            for b in range(a + 1, n):
+                v1, v2 = [], []
+                for s in set_indices:
+                    pa = self.image_points[a][s]
+                    pb = self.image_points[b][s]
+                    if (pa is not None and pb is not None
+                            and len(pa) == self.n_corners
+                            and len(pb) == self.n_corners):
+                        v1.append(pa)
+                        v2.append(pb)
+                if not v1:
+                    continue
+                res = stereo_calibrate(self.obj, v1, v2,
+                                       state.K[a], state.dist[a],
+                                       state.K[b], state.dist[b])
+                R_rel[(a, b)] = res.R
+                t_rel[(a, b)] = res.t
+                R_rel[(b, a)] = res.R.T
+                t_rel[(b, a)] = -res.R.T @ res.t
+                graph[a, b] = graph[b, a] = res.rms
+
+        # best reference frame = lowest mean shortest-path error
+        # (calibrate.cpp:516-532)
+        fw = FloydWarshall(graph)
+        best_ref, best_total = -1, np.inf
+        for i in range(n):
+            tot = sum(fw.cost(i, j) for j in range(n) if j != i)
+            tot /= max(n - 1, 1)
+            if tot < best_total:
+                best_total, best_ref = tot, i
+        if best_ref < 0:
+            return
+
+        state.R[best_ref] = np.eye(3)
+        state.t[best_ref] = np.zeros(3)
+
+        # chain pairwise transforms along shortest paths
+        # (calibrate.cpp:549-572)
+        for i in range(n):
+            if i == best_ref:
+                continue
+            path = fw.path(best_ref, i)
+            if not path:
+                continue
+            accR = np.eye(3)
+            accT = np.zeros(3)
+            for j in range(1, len(path)):
+                v1, v2 = path[j - 1], path[j]
+                accR = R_rel[(v1, v2)] @ accR
+                accT = R_rel[(v1, v2)] @ accT + t_rel[(v1, v2)]
+            state.R[i] = accR
+            state.t[i] = accT
+
+    # -- main loop (calibrate.cpp:687-843) -----------------------------------
+
+    def calibrate(self,
+                  initial: Optional[RigCalibrationState] = None
+                  ) -> RigCalibrationResult:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+
+        best = (initial.copy() if initial is not None
+                else RigCalibrationState.identity(self.n_cams))
+        lowest = self.compute_error(best) if initial is not None else np.inf
+        if not np.isfinite(lowest):
+            lowest = np.inf
+
+        indices = np.arange(self.n_sets)
+        num = min(self.n_sets,
+                  max(cfg.min_subset, int(self.n_sets * cfg.subset_fraction)))
+        iterations = 1 if num >= self.n_sets else cfg.num_iterations
+
+        errors = []
+        for _ in range(iterations):
+            state = RigCalibrationState.identity(self.n_cams)
+            rng.shuffle(indices)
+            subset = list(indices[:num])
+
+            self.estimate_intrinsics(state, subset)
+            if self.find_extrinsics:
+                self.estimate_extrinsics(state, subset)
+
+            err = self.compute_error(state)
+            errors.append(err)
+            if err > 1e-10 and err + 1e-10 < lowest:
+                best = state.copy()
+                lowest = err
+            if num == self.n_sets:
+                break
+
+        if cfg.use_bundle_adjust and np.isfinite(lowest):
+            from .bundle import bundle_adjust_rig
+            adjusted = bundle_adjust_rig(best, self.image_points, self.obj)
+            err = self.compute_error(adjusted)
+            errors.append(err)
+            if err + 1e-10 < lowest:
+                best, lowest = adjusted, err
+
+        return RigCalibrationResult(state=best, error=lowest,
+                                    per_iteration_errors=errors)
