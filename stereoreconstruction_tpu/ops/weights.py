@@ -60,10 +60,15 @@ def _neighbor_dist_map(rgb, dx, dy):
     return jnp.where(nv, d, big)
 
 
-def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3):
+def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3,
+                     exact: bool = True):
     """Geodesic support weights for every pixel window simultaneously.
 
     rgb: [H, W, 3] in 0..255.  Returns ``[S, S, H, W]`` weights in [0, 1].
+
+    ``exact=False`` clamps distances at 4096 (weights below exp(-80) are
+    identically zero anyway) so the min-plus chain runs in f32 — ~1e-4
+    relative weight error, no f64 emulation on TPU.
 
     TPU formulation: the reference's forward/backward raster sweeps
     (geodesicweight.cpp:73-125) have an exact row-decomposition — each window
@@ -90,36 +95,43 @@ def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3):
     # Window-pixel (center) validity per position: [S, S, H, W].
     _, valid = shifted_windows(rgb[..., 0], radius)
 
+    clamp = 4096.0
+    brk = 2.0 * clamp
+    init = _BIG if exact else clamp
+
     # State: one [S(t), H, W] plane per window row.
-    rows = [jnp.full((size, h, w), _BIG, dtype) for _ in range(size)]
+    rows = [jnp.full((size, h, w), init, dtype) for _ in range(size)]
     rows[radius] = rows[radius].at[radius].set(0.0)
 
-    big = jnp.asarray(_BREAK, dtype)
+    fill = _BREAK if exact else brk
 
     def shift_t(x, dx):
-        """x[t] -> x[t + dx] along the window-column axis, _BREAK fill."""
+        """x[t] -> x[t + dx] along the window-column axis, break fill."""
         if dx == -1:
-            return jnp.concatenate([jnp.full((1, h, w), _BREAK, x.dtype),
+            return jnp.concatenate([jnp.full((1, h, w), fill, x.dtype),
                                     x[:-1]], axis=0)
         if dx == 1:
             return jnp.concatenate([x[1:],
-                                    jnp.full((1, h, w), _BREAK, x.dtype)],
+                                    jnp.full((1, h, w), fill, x.dtype)],
                                    axis=0)
         return x
 
     def chain(u, d, reverse):
         """Closed-form sequential min-plus along the window-column axis."""
-        u64 = u.astype(jnp.float64)
-        d64 = d.astype(jnp.float64)
+        if exact:
+            u_c = u.astype(jnp.float64)
+            d_c = d.astype(jnp.float64)
+        else:
+            u_c = jnp.minimum(u, clamp)
+            d_c = jnp.minimum(d, brk)
+        zero_row = jnp.zeros((1, h, w), u_c.dtype)
         if not reverse:
-            dd = jnp.concatenate([jnp.zeros((1, h, w), jnp.float64),
-                                  d64[1:]], axis=0)
+            dd = jnp.concatenate([zero_row, d_c[1:]], axis=0)
             D = jnp.cumsum(dd, axis=0)
         else:
-            dd = jnp.concatenate([d64[:-1],
-                                  jnp.zeros((1, h, w), jnp.float64)], axis=0)
+            dd = jnp.concatenate([d_c[:-1], zero_row], axis=0)
             D = jnp.cumsum(dd[::-1], axis=0)[::-1]
-        v = D + jax.lax.cummin(u64 - D, axis=0, reverse=reverse)
+        v = D + jax.lax.cummin(u_c - D, axis=0, reverse=reverse)
         return v.astype(u.dtype)
 
     def fwd_row(rows, s):
@@ -180,11 +192,11 @@ def uniform_weights(rgb, radius: int):
                                      rgb.dtype), 0.0)
 
 
-def compute_weights(rgb, radius: int, cfg) -> jnp.ndarray:
+def compute_weights(rgb, radius: int, cfg, exact: bool = True) -> jnp.ndarray:
     """Dispatch on WeightConfig.kind."""
     if cfg.kind == "geodesic":
         return geodesic_weights(rgb, radius, cfg.geodesic_sigma,
-                                cfg.geodesic_iters)
+                                cfg.geodesic_iters, exact=exact)
     if cfg.kind == "adaptive":
         return adaptive_weights(rgb, radius, cfg.color_sigma)
     if cfg.kind == "uniform":

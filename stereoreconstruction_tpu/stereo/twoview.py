@@ -67,23 +67,37 @@ def _wta_scan(cost_fn, depths, init_shape, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "enable_refraction", "enable_distortion"))
+    static_argnames=("cfg", "enable_refraction", "enable_distortion",
+                     "method"))
 def compute_depth_map_oneview(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
         cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
-        *, enable_refraction: bool = True, enable_distortion: bool = True):
+        *, enable_refraction: bool = True, enable_distortion: bool = True,
+        method: str = "fast"):
     """Depth map for one reference view against one other view.
 
     rgb_ref: [H, W, 3]; gray/masks: [H, W].  Cameras must be cast to the
     working dtype already.  Returns depth [H, W] (NaN/inf sentinels).
+
+    method:
+      "fast"  — gather-free warp-first cost volume (MXU warp matmuls,
+                reference-space support windows; see ops/ncc_fast.py),
+      "exact" — other-space window taps bit-matching the reference's
+                cost_ncc semantics (gather-bound on TPU; used for parity).
     """
+    from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
+
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
     radius = cfg.window_radius
 
-    weights = compute_weights(rgb_ref, radius, cfg.weights).astype(dtype)
-    left_vals, left_valid, left_mask = _left_windows(
-        gray_ref, mask_ref, radius, use_sample=True)
+    weights = compute_weights(rgb_ref, radius, cfg.weights,
+                              exact=(method == "exact")).astype(dtype)
+    if method == "exact" or cfg.cost == "sad":
+        left_vals, left_valid, left_mask = _left_windows(
+            gray_ref, mask_ref, radius, use_sample=True)
+    else:
+        ref_view = make_ref_view(gray_ref, mask_ref, weights, radius)
 
     ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
                               enable_refraction=enable_refraction,
@@ -109,12 +123,18 @@ def compute_depth_map_oneview(
                 gray_oth, mask_oth, weights, xy, mvalid,
                 radius=radius, max_color_diff=cfg.max_color_diff,
                 bad_ret=cfg.bad_ret)
-        else:
+        elif method == "exact":
             cost = twoview_cost_plane(
                 gray_ref, left_vals, left_valid, left_mask,
                 gray_oth, mask_oth, weights, xy, mvalid,
                 radius=radius, max_color_diff=cfg.max_color_diff,
                 bad_ret=cfg.bad_ret)
+        else:
+            warped, wvalid = warp_other(
+                gray_oth, mask_oth, xy[..., 0], xy[..., 1], mvalid)
+            cost = fast_cost_plane(
+                ref_view, warped, wvalid,
+                max_color_diff=cfg.max_color_diff, bad_ret=cfg.bad_ret)
         return cost, jnp.full((h, w), depth, dtype)
 
     min_cost, second, best = _wta_scan(cost_at, depths, (h, w), dtype)
@@ -210,6 +230,7 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
                        cross_check: bool = True,
                        enable_refraction: bool = True,
                        enable_distortion: bool = True,
+                       method: str = "fast",
                        dtype=jnp.float32) -> TwoViewResult:
     """Full TwoViewStereo::computeDepthMaps flow (both views + cross-check).
 
@@ -231,11 +252,11 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     depth_l = compute_depth_map_oneview(
         rgb_l, gray_l, mask_l, gray_r, mask_r, cam_l, cam_r, cfg,
         enable_refraction=enable_refraction,
-        enable_distortion=enable_distortion)
+        enable_distortion=enable_distortion, method=method)
     depth_r = compute_depth_map_oneview(
         rgb_r, gray_r, mask_r, gray_l, mask_l, cam_r, cam_l, cfg,
         enable_refraction=enable_refraction,
-        enable_distortion=enable_distortion)
+        enable_distortion=enable_distortion, method=method)
 
     if cross_check:
         depth_l, depth_r = cross_check_pair(

@@ -98,7 +98,7 @@ class TestTwoViewParity:
 
         res = compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r,
                                  cam_l, cam_r, CFG, cross_check=False,
-                                 dtype=jnp.float64)
+                                 method="exact", dtype=jnp.float64)
 
         want_l = orc.oracle_depth_map_oneview(
             rgb_l, mask_l, rgb_r, mask_r, ocam_l, ocam_r, CFG)
@@ -116,7 +116,7 @@ class TestTwoViewParity:
 
         res = compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r,
                                  cam_l, cam_r, CFG, cross_check=True,
-                                 dtype=jnp.float64)
+                                 method="exact", dtype=jnp.float64)
 
         wl = orc.oracle_depth_map_oneview(
             rgb_l, mask_l, rgb_r, mask_r, ocam_l, ocam_r, CFG)
@@ -132,6 +132,6 @@ class TestTwoViewParity:
          cam_l, cam_r, _, _) = make_scene(rng, False)
         res = compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r,
                                  cam_l, cam_r, CFG, cross_check=False,
-                                 dtype=jnp.float64)
+                                 method="exact", dtype=jnp.float64)
         d = np.asarray(res.depth_left)
         assert np.all(np.isnan(d[~mask_l]))
