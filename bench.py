@@ -87,23 +87,27 @@ def main():
 
     t0 = time.time()
     res = compute_depth_maps(*args, dtype=jnp.float32)
-    jax.block_until_ready(res)
-    log(f"warmup (incl compile): {time.time() - t0:.1f}s")
+    np.asarray(res.depth_left)   # D2H fetch: block_until_ready is
+    log(f"warmup (incl compile): {time.time() - t0:.1f}s")  # unreliable here
 
-    # time with per-iteration input perturbation so no layer can memoize
-    n_iter = 5
-    variants = []
+    # time with per-iteration input perturbation (so no layer can memoize)
+    # and a forced device-to-host fetch per iteration (real sync)
+    n_iter = 3
+    times = []
     for i in range(n_iter):
         r_l = imgs[0].rgb.copy()
-        r_l[..., 0] += np.float32(i) * np.float32(1e-3)
-        variants.append((r_l, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
-                         cams[0], cams[1], cfg))
-    t0 = time.time()
-    outs = [compute_depth_maps(*v, dtype=jnp.float32) for v in variants]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / n_iter
+        r_l[..., 0] += np.float32(i + 1) * np.float32(1e-3)
+        v = (r_l, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
+             cams[0], cams[1], cfg)
+        t0 = time.time()
+        res = compute_depth_maps(*v, dtype=jnp.float32)
+        np.asarray(res.depth_left)
+        np.asarray(res.depth_right)
+        times.append(time.time() - t0)
+    dt = min(times)
     views_per_s = 2.0 / dt  # both views of the pair per call
-    log(f"engine: {dt:.3f}s/pair -> {views_per_s:.2f} views/s")
+    log(f"engine: {dt:.3f}s/pair -> {views_per_s:.2f} views/s "
+        f"(times: {[round(t, 3) for t in times]})")
 
     d = np.asarray(res.depth_left)
     log(f"depth map: finite={np.isfinite(d).mean():.3f} "
