@@ -31,8 +31,9 @@ def collect_samples(images: Sequence[np.ndarray], channel: int,
     images: list of [H, W, 3] uint8/float arrays, ordered by exposure.
     A patch qualifies if its variance is below ``var_thresh`` in every
     exposure and its mean brightness is monotonic across exposures.
-    Returns a flat list ordered sample-major (the solver relies on
-    ``sample_index % num_points`` indexing like the reference).
+    Returns a flat list in exposure-major order (the solver maps samples to
+    scene points by ``sample_index % num_points``, like the reference's
+    layout at radiometriccalibrationtask.cpp:238-244).
     """
     rng = rng or np.random.default_rng(0)
     h, w = images[0].shape[:2]
@@ -60,8 +61,8 @@ def collect_samples(images: Sequence[np.ndarray], channel: int,
         points.append((y, x))
 
     samples = []
-    for (y, x) in points:
-        for i, img in enumerate(images):
+    for i, img in enumerate(images):
+        for (y, x) in points:
             samples.append((int(round(float(img[y, x, channel]))), i))
     return samples, len(points)
 
