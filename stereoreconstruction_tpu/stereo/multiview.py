@@ -62,12 +62,12 @@ def select_neighbours(cams: Sequence[Camera],
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_neighbours", "enable_refraction",
-                     "enable_distortion", "with_topk"))
+                     "enable_distortion", "with_topk", "method"))
 def mvs_initial_estimate_oneview(
         rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
         cam_ref: Camera, cams_nbr: Camera, cfg: MultiViewConfig,
         n_neighbours: int, *, enable_refraction=True,
-        enable_distortion=True, with_topk=False):
+        enable_distortion=True, with_topk=False, method: str = "fast"):
     """Initial depth hypothesis for one view against its stacked neighbours.
 
     grays_nbr/masks_nbr: [N, H, W]; cams_nbr: Camera pytree with leading
@@ -76,13 +76,23 @@ def mvs_initial_estimate_oneview(
     ``with_topk``, the (ncc, depth) top-K hypothesis volume
     ``[K, H, W] x 2`` sorted ascending (peaks padded with (0, -1)).
     """
+    from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
+
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
     radius = cfg.window_radius
 
-    weights = compute_weights(rgb_ref, radius, cfg.weights).astype(dtype)
-    left_vals, left_valid, left_mask = _left_windows(
-        gray_ref, mask_ref, radius, use_sample=False)
+    weights = compute_weights(rgb_ref, radius, cfg.weights,
+                              exact=(method == "exact")).astype(dtype)
+    if method == "exact":
+        left_vals, left_valid, left_mask = _left_windows(
+            gray_ref, mask_ref, radius, use_sample=False)
+    else:
+        # pixel() semantics (no sample-rule, no mask checks) for MVS
+        ref_view = make_ref_view(gray_ref, mask_ref, weights, radius)
+        ref_view = ref_view._replace(
+            inb_pad=jnp.pad(jnp.ones((h, w), bool), radius,
+                            constant_values=False))
 
     ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
                               enable_refraction=enable_refraction,
@@ -106,10 +116,16 @@ def mvs_initial_estimate_oneview(
                 enable_distortion=enable_distortion)
             # No mask checks in the MVS cost (the #if 0 blocks at
             # multiviewstereo.cpp:124-130, 159-165).
-            return twoview_cost_plane(
-                gray_ref, left_vals, left_valid, left_mask,
-                gray_o, mask_o, weights, xy, mvalid,
-                radius=radius, mvs_mode=True, use_masks=False)
+            if method == "exact":
+                return twoview_cost_plane(
+                    gray_ref, left_vals, left_valid, left_mask,
+                    gray_o, mask_o, weights, xy, mvalid,
+                    radius=radius, mvs_mode=True, use_masks=False)
+            warped, wvalid = warp_other(
+                gray_o, jnp.ones(gray_o.shape, bool), xy[..., 0],
+                xy[..., 1], mvalid)
+            return fast_cost_plane(ref_view, warped, wvalid,
+                                   mvs_mode=True, use_masks=False)
 
         return jax.vmap(one_nbr)(grays_nbr, masks_nbr, cams_nbr)
 
@@ -235,7 +251,7 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
 def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
                    cfg: MultiViewConfig, *, cross_check=True,
                    enable_refraction=True, enable_distortion=True,
-                   dtype=jnp.float32):
+                   method: str = "fast", dtype=jnp.float32):
     """Full MultiViewStereo::runTask flow (WTA path).
 
     rgbs: [V, H, W, 3] numpy/jnp (0..255); masks: [V, H, W] bool.
@@ -255,12 +271,26 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
         nbr = neighbours[i]
         cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs),
                                 *[cams[j] for j in nbr])
-        d = mvs_initial_estimate_oneview(
-            rgbs[i], grays[i], masks[i],
-            grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
-            cams[i], cams_nbr, cfg, len(nbr),
-            enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion)
+        if cfg.use_mrf:
+            from .mrf import trws_optimize, labels_to_depth
+            top_ncc, top_depth = mvs_initial_estimate_oneview(
+                rgbs[i], grays[i], masks[i],
+                grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
+                cams[i], cams_nbr, cfg, len(nbr),
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion, method=method,
+                with_topk=True)
+            res = trws_optimize(top_ncc, top_depth, cfg,
+                                max_iters=cfg.mrf_max_iters)
+            d = labels_to_depth(res.labels, top_depth)
+            d = jnp.where(masks[i], d, jnp.inf)
+        else:
+            d = mvs_initial_estimate_oneview(
+                rgbs[i], grays[i], masks[i],
+                grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
+                cams[i], cams_nbr, cfg, len(nbr),
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion, method=method)
         depths.append(d)
 
     if cross_check:

@@ -1,0 +1,71 @@
+"""TRW-style MRF over the hypothesis volume: energy decreases, smoothing
+recovers a noisy plane, cost tables match the reference formulas."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereoreconstruction_tpu.config import MultiViewConfig
+from stereoreconstruction_tpu.stereo.mrf import (
+    campbell_data_cost, campbell_pairwise, trws_optimize, labels_to_depth,
+    linear_label_costs)
+
+
+CFG = MultiViewConfig(use_mrf=True)
+
+
+class TestCosts:
+    def test_data_cost_formulas(self):
+        top_ncc = jnp.asarray(np.full((2, 3, 3), 0.97))
+        top_depth = jnp.asarray(np.full((2, 3, 3), 50.0))
+        D = np.asarray(campbell_data_cost(top_ncc, top_depth, CFG))
+        assert D.shape == (3, 3, 3)
+        np.testing.assert_allclose(D[0], CFG.lam * np.exp(-CFG.beta * 0.97))
+        np.testing.assert_allclose(D[2], CFG.phi_u)
+        # no-peak label -> LAMBDA
+        top_depth2 = top_depth.at[0].set(-1.0)
+        D2 = np.asarray(campbell_data_cost(top_ncc, top_depth2, CFG))
+        np.testing.assert_allclose(D2[0], CFG.lam)
+
+    def test_pairwise_formulas(self):
+        v = float(campbell_pairwise(jnp.asarray(50.0), jnp.asarray(55.0),
+                                    CFG))
+        np.testing.assert_allclose(v, 2 * 5 / 105.0)
+        v2 = float(campbell_pairwise(jnp.asarray(-1.0), jnp.asarray(55.0),
+                                     CFG))
+        np.testing.assert_allclose(v2, 2 * CFG.psi_u)
+
+    def test_linear_label_costs(self):
+        T = np.asarray(linear_label_costs(5, 1, 2.0, 0.25))
+        assert T[0, 0] == 0
+        np.testing.assert_allclose(T[0, 1], 0.25)
+        np.testing.assert_allclose(T[0, 4], 0.5)   # capped at max=2
+
+
+class TestOptimize:
+    def test_energy_decreases_and_denoises(self, rng):
+        # plane at depth 60 with strong peaks; 15% of pixels have a spurious
+        # stronger peak at depth 40 -> smoothness should flip them back.
+        K, h, w = 4, 24, 32
+        top_ncc = np.full((K, h, w), 0.0)
+        top_depth = np.full((K, h, w), -1.0)
+        top_ncc[-1] = 0.97
+        top_depth[-1] = 60.0
+        noise = rng.uniform(size=(h, w)) < 0.15
+        top_ncc[-2] = np.where(noise, 0.99, 0.0)
+        top_depth[-2] = np.where(noise, 40.0, -1.0)
+        # ascending order by ncc per pixel required: reorder
+        order = np.argsort(top_ncc, axis=0)
+        top_ncc = np.take_along_axis(top_ncc, order, axis=0)
+        top_depth = np.take_along_axis(top_depth, order, axis=0)
+
+        res = trws_optimize(jnp.asarray(top_ncc), jnp.asarray(top_depth),
+                            CFG, max_iters=30)
+        energies = np.asarray(res.energies)
+        assert energies[-1] <= energies[0] + 1e-6
+        depth = np.asarray(labels_to_depth(res.labels,
+                                           jnp.asarray(top_depth)))
+        # most pixels should land on the consistent 60-plane
+        frac60 = np.mean(np.isclose(depth, 60.0))
+        assert frac60 > 0.9, f"only {frac60} at 60"

@@ -62,7 +62,7 @@ class TestMVSParity:
     def test_initial_estimate_matches_oracle(self, rng):
         cams, ocams, rgbs, masks = make_rig(rng, n=3)
         got = mvs_depth_maps(rgbs, masks, cams, CFG, cross_check=False,
-                             dtype=jnp.float64)
+                             method="exact", dtype=jnp.float64)
         neighbours = select_neighbours(cams, CFG)
         for i in range(3):
             want = orc.oracle_mvs_oneview(rgbs, masks, ocams, i,
@@ -73,7 +73,7 @@ class TestMVSParity:
     def test_full_with_cross_check(self, rng):
         cams, ocams, rgbs, masks = make_rig(rng, n=3)
         got = mvs_depth_maps(rgbs, masks, cams, CFG, cross_check=True,
-                             dtype=jnp.float64)
+                             method="exact", dtype=jnp.float64)
         neighbours = select_neighbours(cams, CFG)
         want = [orc.oracle_mvs_oneview(rgbs, masks, ocams, i,
                                        neighbours[i], CFG)
