@@ -1,0 +1,312 @@
+"""Headless CLI replaying the reference's GUI workflow (README "Example
+workflow": find features -> correspondences -> calibrate -> depth maps).
+
+Usage:
+  python -m stereoreconstruction_tpu.cli detect    project.xml [--kind surf]
+  python -m stereoreconstruction_tpu.cli match     project.xml
+  python -m stereoreconstruction_tpu.cli calibrate project.xml -o out.xml
+  python -m stereoreconstruction_tpu.cli refraction project.xml -o out.xml
+  python -m stereoreconstruction_tpu.cli stereo    project.xml --image-set bunny
+  python -m stereoreconstruction_tpu.cli hdr       project.xml --image-set x
+  python -m stereoreconstruction_tpu.cli layout    project.xml -o layout.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load(path):
+    from .data.project_io import load_project
+    return load_project(path)
+
+
+def cmd_info(args):
+    proj = _load(args.project)
+    print(f"cameras: {len(proj.cameras)}  image sets: "
+          f"{len(proj.image_sets)}")
+    for cid, cam in proj.cameras.items():
+        refr = (f" refractive(n={cam.refr_index}, d={cam.refr_dist})"
+                if abs(cam.refr_index - 1) > 1e-10 else "")
+        print(f"  camera {cid}{refr}")
+    for sid, iset in proj.image_sets.items():
+        print(f"  set {sid}: {len(iset.images)} images")
+    nf = sum(len(v) for v in proj.features.values())
+    nc = sum(len(v) for v in proj.correspondences.values())
+    print(f"features: {nf}  correspondences: {nc}")
+
+
+def cmd_detect(args):
+    from .features.detect import detect_checkerboards, detect_surf
+    from .data.project_io import save_project
+    proj = _load(args.project)
+    if args.kind == "checkerboard":
+        n = detect_checkerboards(
+            proj, cols=args.cols - 1, rows=args.rows - 1,
+            image_set_ids=args.image_set or None,
+            progress=lambda d, t: print(f"\r{d}/{t}", end="",
+                                        file=sys.stderr))
+        print(f"\ndetected full boards on {n} images")
+    else:
+        n = detect_surf(proj, image_set_ids=args.image_set or None,
+                        threshold=args.threshold)
+        print(f"detected SURF features on {n} images")
+    save_project(proj, args.output or args.project)
+
+
+def cmd_match(args):
+    from .features.detect import find_all_correspondences
+    from .data.project_io import save_project
+    proj = _load(args.project)
+    n = find_all_correspondences(proj)
+    print(f"stored correspondences for {n} image pairs")
+    save_project(proj, args.output or args.project)
+
+
+def cmd_calibrate(args):
+    from .config import CalibrationConfig
+    from .calib.rig import CameraCalibration
+    from .features.detect import gather_calibration_points
+    from .data.project_io import save_project
+    from .data.images import load_image
+
+    proj = _load(args.project)
+    cfg = CalibrationConfig(board_cols=args.cols - 1,
+                            board_rows=args.rows - 1,
+                            cell_size=args.cell_size,
+                            use_bundle_adjust=args.bundle_adjust)
+    cam_ids = sorted(proj.cameras)
+    set_ids = sorted(s for s in proj.image_sets
+                     if any((s, c) in proj.features for c in cam_ids))
+    if not set_ids:
+        print("no feature sets — run `detect` first", file=sys.stderr)
+        return 1
+    n_corners = cfg.board_cols * cfg.board_rows
+    pts = gather_calibration_points(proj, cam_ids, set_ids, n_corners)
+
+    sizes = []
+    for cid in cam_ids:
+        img = proj.image_sets[set_ids[0]].default_image_for_camera(cid)
+        li = load_image(img.file, 1.0)
+        sizes.append((li.rgb.shape[1], li.rgb.shape[0]))
+
+    calib = CameraCalibration(pts, sizes, cfg)
+    res = calib.calibrate()
+    print(f"mean reprojection error: {res.error:.4f} px "
+          f"(per-iteration: {[round(e, 3) for e in res.per_iteration_errors]})")
+
+    for i, cid in enumerate(cam_ids):
+        st = res.state
+        P = st.K[i] @ np.hstack([st.R[i], st.t[i][:, None]])
+        proj.cameras[cid].P = P
+        proj.cameras[cid].dist = st.dist[i]
+    save_project(proj, args.output or args.project)
+    return 0
+
+
+def cmd_refraction(args):
+    from .calib.refraction import (calibrate, default_model,
+                                   gather_correspondences, total_error)
+    from .data.project_io import save_project
+
+    proj = _load(args.project)
+    cam_ids = sorted(proj.cameras)
+    set_ids = args.image_set or sorted(proj.image_sets)
+    cams = [proj.cameras[c].to_camera() for c in cam_ids]
+    p1, p2, v1, v2 = gather_correspondences(proj, cam_ids, set_ids)
+    if len(p1) == 0:
+        print("no correspondences — run `detect` + `match` first",
+              file=sys.stderr)
+        return 1
+    print(f"{len(p1)} correspondences")
+    res = calibrate(cams, p1, p2, v1, v2)
+    print(f"chi2: {res.chi2_before:.2f} -> {res.chi2_after:.2f} "
+          f"({res.iterations} iters), n = {res.refractive_index:.4f}")
+    for i, cid in enumerate(cam_ids):
+        px, py, d = res.plane_params(i)
+        rec = proj.cameras[cid]
+        rec.refr_px, rec.refr_py = px, py
+        rec.refr_dist = d
+        rec.refr_index = res.refractive_index
+    save_project(proj, args.output or args.project)
+    return 0
+
+
+def cmd_stereo(args):
+    import jax.numpy as jnp
+    from .config import MultiViewConfig, TwoViewConfig
+    from .data.images import load_image
+    from .data.ply import write_ply
+    from .stereo.multiview import mvs_depth_maps, depth_maps_to_ply
+    from .stereo.twoview import compute_depth_maps
+    from .viz.render import save_depth_image
+
+    proj = _load(args.project)
+    iset = proj.image_sets[args.image_set]
+    cam_ids = args.cameras or sorted(
+        c for c in proj.cameras
+        if iset.default_image_for_camera(c) is not None)
+    cams = [proj.cameras[c].to_camera() for c in cam_ids]
+    imgs = [load_image(iset.default_image_for_camera(c).file, args.scale)
+            for c in cam_ids]
+    outdir = args.output or "."
+    os.makedirs(outdir, exist_ok=True)
+
+    if args.two_view:
+        cfg = TwoViewConfig(min_depth=args.min_depth,
+                            max_depth=args.max_depth,
+                            num_depth_levels=args.depth_levels,
+                            image_scale=args.scale)
+        res = compute_depth_maps(
+            imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
+            cams[0], cams[1], cfg)
+        depths = np.stack([np.asarray(res.depth_left),
+                           np.asarray(res.depth_right)])
+        style = "twoview"
+    else:
+        cfg = MultiViewConfig(min_depth=args.min_depth,
+                              max_depth=args.max_depth,
+                              num_depth_levels=args.depth_levels,
+                              cross_check_threshold=args.cross_check,
+                              image_scale=args.scale,
+                              use_mrf=args.mrf)
+        depths = np.asarray(mvs_depth_maps(
+            np.stack([i.rgb for i in imgs]),
+            np.stack([i.mask for i in imgs]), cams, cfg))
+        style = "mvs"
+
+    for i, cid in enumerate(cam_ids[:len(depths)]):
+        d = depths[i]
+        have = np.isfinite(d) & (d > 0)
+        print(f"{cid}: {100.0 * have.mean():.1f}% of pixels have depth "
+              "hypotheses")
+        save_depth_image(d, os.path.join(outdir, f"depth_{cid}.png"),
+                         args.min_depth, args.max_depth, style=style)
+
+    if not args.two_view:
+        pts, cols = depth_maps_to_ply(
+            depths, np.stack([i.rgb for i in imgs]), cams, cfg)
+        ply = os.path.join(outdir, f"{args.image_set}.ply")
+        write_ply(ply, pts, cols)
+        print(f"wrote {len(pts)} points to {ply}")
+    return 0
+
+
+def cmd_hdr(args):
+    from .data.images import load_image
+    from .data.formats import write_exr, write_rgbe
+    from .hdr.response import recover_response
+    from .hdr.merge import merge_hdr
+
+    proj = _load(args.project)
+    iset = proj.image_sets[args.image_set]
+    cam_id = args.cameras[0] if args.cameras else sorted(proj.cameras)[0]
+    stack = [(img, img.exposure) for img in iset.images
+             if img.camera_id == cam_id and img.exposure > 0]
+    if len(stack) < 2:
+        print("need >= 2 exposures with exposure metadata", file=sys.stderr)
+        return 1
+    images = [load_image(im.file, 1.0).rgb for im, _ in stack]
+    exps = [e for _, e in stack]
+    resp = recover_response(images, exps)
+    hdr = merge_hdr(images, exps, resp)
+    out = args.output or f"{args.image_set}_{cam_id}.exr"
+    if out.endswith(".hdr"):
+        write_rgbe(out, hdr)
+    else:
+        write_exr(out, hdr)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_layout(args):
+    from .viz.render import render_camera_layout
+    proj = _load(args.project)
+    cam_ids = sorted(proj.cameras)
+    cams = [proj.cameras[c].to_camera() for c in cam_ids]
+    out = args.output or "layout.png"
+    render_camera_layout(cams, out, names=cam_ids)
+    print(f"wrote {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stereoreconstruction_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("project")
+        sp.add_argument("-o", "--output")
+        sp.add_argument("--image-set", action="append", default=None)
+        sp.add_argument("--cameras", nargs="*", default=None)
+
+    sp = sub.add_parser("info")
+    common(sp)
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("detect")
+    common(sp)
+    sp.add_argument("--kind", choices=("checkerboard", "surf"),
+                    default="checkerboard")
+    sp.add_argument("--rows", type=int, default=10)   # GUI defaults
+    sp.add_argument("--cols", type=int, default=12)
+    sp.add_argument("--threshold", type=float, default=100.0)
+    sp.set_defaults(fn=cmd_detect)
+
+    sp = sub.add_parser("match")
+    common(sp)
+    sp.set_defaults(fn=cmd_match)
+
+    sp = sub.add_parser("calibrate")
+    common(sp)
+    sp.add_argument("--rows", type=int, default=10)
+    sp.add_argument("--cols", type=int, default=12)
+    sp.add_argument("--cell-size", type=float, default=11.0)
+    sp.add_argument("--bundle-adjust", action="store_true")
+    sp.set_defaults(fn=cmd_calibrate)
+
+    sp = sub.add_parser("refraction")
+    common(sp)
+    sp.set_defaults(fn=cmd_refraction)
+
+    sp = sub.add_parser("stereo")
+    common(sp)
+    sp.add_argument("--min-depth", type=float, default=300.0)
+    sp.add_argument("--max-depth", type=float, default=800.0)
+    sp.add_argument("--depth-levels", type=int, default=100)
+    sp.add_argument("--cross-check", type=float, default=5.0)
+    sp.add_argument("--scale", type=float, default=0.5)
+    sp.add_argument("--two-view", action="store_true")
+    sp.add_argument("--mrf", action="store_true")
+    sp.set_defaults(fn=cmd_stereo)
+
+    sp = sub.add_parser("hdr")
+    common(sp)
+    sp.set_defaults(fn=cmd_hdr)
+
+    sp = sub.add_parser("layout")
+    common(sp)
+    sp.set_defaults(fn=cmd_layout)
+
+    args = p.parse_args(argv)
+    if getattr(args, "image_set", None) and args.cmd in ("stereo", "hdr"):
+        args.image_set = args.image_set[0]
+
+    if args.cmd != "stereo":
+        # Host-side workloads (feature detection, calibration LM, I/O) are
+        # tiny-op dominated: keep them off the accelerator so they don't
+        # round-trip through the device per op.
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
