@@ -1,0 +1,114 @@
+"""Multi-device sharding (8 virtual CPU devices): sharded results must
+equal the single-device computation; collectives correctness."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+import pytest
+
+from stereoreconstruction_tpu.config import TwoViewConfig, WeightConfig
+from stereoreconstruction_tpu.parallel.sharding import (
+    make_mesh, stack_cameras, twoview_batch_sharded)
+from stereoreconstruction_tpu.parallel.collectives import (
+    local_topk, merge_topk)
+from stereoreconstruction_tpu.stereo.twoview import compute_depth_maps
+from stereoreconstruction_tpu.calib.bundle import schur_blocks
+
+from test_twoview import make_scene
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8
+
+
+class TestShardedTwoView:
+    def test_matches_unsharded(self, rng):
+        cfg = TwoViewConfig(window_radius=2, min_depth=40.0, max_depth=90.0,
+                            num_depth_levels=6, image_scale=1.0,
+                            weights=WeightConfig(kind="geodesic"))
+        scenes = [make_scene(rng, refractive=False, h=32, w=48)
+                  for _ in range(2)]
+        mesh = make_mesh(2, 4)
+
+        rgbs_l = np.stack([s[0] for s in scenes]).astype(np.float32)
+        masks_l = np.stack([s[1] for s in scenes])
+        rgbs_r = np.stack([s[2] for s in scenes]).astype(np.float32)
+        masks_r = np.stack([s[3] for s in scenes])
+        cams_l = stack_cameras([s[4].astype(jnp.float32) for s in scenes])
+        cams_r = stack_cameras([s[5].astype(jnp.float32) for s in scenes])
+
+        out = np.asarray(twoview_batch_sharded(
+            mesh, rgbs_l, masks_l, rgbs_r, masks_r, cams_l, cams_r, cfg))
+
+        for p, s in enumerate(scenes):
+            ref = compute_depth_maps(s[0], s[1], s[2], s[3], s[4], s[5],
+                                     cfg, dtype=jnp.float32)
+            for side, want in ((0, ref.depth_left), (1, ref.depth_right)):
+                got = out[p, side]
+                w = np.asarray(want)
+                same = ((np.isnan(got) & np.isnan(w))
+                        | (np.isinf(got) & np.isinf(w))
+                        | (np.isfinite(got) & np.isfinite(w)
+                           & np.isclose(got, np.where(np.isfinite(w), w, 0),
+                                        atol=1e-4)))
+                assert same.mean() > 0.99, \
+                    f"pair {p} side {side}: {same.mean()}"
+
+
+class TestTopKMerge:
+    def test_matches_global_topk(self, rng):
+        ncc = rng.uniform(0, 1, (64, 5, 7)).astype(np.float32)
+        depth = rng.uniform(10, 90, (64, 5, 7)).astype(np.float32)
+        k = 9
+        # global answer
+        gn, gd = local_topk(jnp.asarray(ncc), jnp.asarray(depth), k)
+
+        mesh = make_mesh(1, 8)
+
+        def shard_fn(n, d):
+            ln, ld = local_topk(n, d, k)
+            return merge_topk(ln, ld, k, "row")
+
+        from jax.sharding import NamedSharding
+        from jax.experimental.shard_map import shard_map
+        f = shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P("row"), P("row")),
+                      out_specs=(P(), P()), check_rep=False)
+        mn, md = f(jnp.asarray(ncc), jnp.asarray(depth))
+        np.testing.assert_allclose(np.asarray(mn), np.asarray(gn),
+                                   atol=1e-6)
+
+
+class TestShardedBA:
+    def test_psum_blocks_match(self, rng):
+        from jax.experimental.shard_map import shard_map
+        n_cams, n_pts, n_obs = 3, 16, 64
+        Ks = jnp.asarray(np.stack(
+            [np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])] * 3))
+        poses = jnp.asarray(rng.normal(0, 0.1, (n_cams, 6)))
+        points = jnp.asarray(rng.uniform([-50, -50, 400], [50, 50, 600],
+                                         (n_pts, 3)))
+        cam_idx = jnp.asarray(rng.integers(0, n_cams, n_obs), jnp.int32)
+        pt_idx = jnp.asarray(rng.integers(0, n_pts, n_obs), jnp.int32)
+        meas = jnp.asarray(rng.uniform(0, 640, (n_obs, 2)))
+
+        ref = schur_blocks(poses, points, Ks, cam_idx, pt_idx, meas,
+                           n_cams=n_cams, n_pts=n_pts)
+
+        mesh = make_mesh(1, 8)
+        from stereoreconstruction_tpu.parallel.collectives import (
+            ba_normal_equations_psum)
+
+        f = shard_map(
+            functools.partial(ba_normal_equations_psum, n_cams=n_cams,
+                              n_pts=n_pts, axis_name="row"),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("row"), P("row"), P("row")),
+            out_specs=(P(), P(), P(), P(), P(), P()))
+        got = f(poses, points, Ks, cam_idx, pt_idx, meas)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-10, atol=1e-8)
