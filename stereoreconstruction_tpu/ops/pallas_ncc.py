@@ -137,7 +137,7 @@ def _cost_kernel(depths_ref, warped_hbm, wvalid_hbm, grayp_hbm, maskp_hbm,
     jax.jit,
     static_argnames=("radius", "tile_h", "max_color_diff", "bad_ret"))
 def pallas_cost_wta(depths, warped_vol, wvalid_vol, gray_ref, left_valid,
-                    weights, *, radius: int, tile_h: int = 16,
+                    weights, *, radius: int, tile_h: int = 32,
                     max_color_diff: float = 120.0, bad_ret: float = 1000.0):
     """Fused cost + WTA over the full depth sweep.
 

@@ -68,12 +68,12 @@ def _wta_scan(cost_fn, depths, init_shape, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "enable_refraction", "enable_distortion",
-                     "method"))
+                     "method", "use_mrf"))
 def compute_depth_map_oneview(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
         cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
         *, enable_refraction: bool = True, enable_distortion: bool = True,
-        method: str = "fast"):
+        method: str = "fast", use_mrf: bool = False):
     """Depth map for one reference view against one other view.
 
     rgb_ref: [H, W, 3]; gray/masks: [H, W].  Cameras must be cast to the
@@ -82,6 +82,8 @@ def compute_depth_map_oneview(
     method:
       "fast"  — gather-free warp-first cost volume (MXU warp matmuls,
                 reference-space support windows; see ops/ncc_fast.py),
+      "pallas" — fast warp volume + the fused Pallas NCC/WTA kernel
+                (VMEM-resident weights across the whole depth sweep),
       "exact" — other-space window taps bit-matching the reference's
                 cost_ncc semantics (gather-bound on TPU; used for parity).
     """
@@ -110,6 +112,32 @@ def compute_depth_map_oneview(
     normal = pr_dir.astype(dtype)
     center = cam_ref.C.astype(dtype)
 
+    if method == "pallas" and cfg.cost != "sad":
+        from ..ops.pallas_ncc import pallas_cost_wta
+
+        def warp_at(_, d_idx):
+            depth = depths[d_idx]
+            pts, pvalid = point_from_depth(ray_o, ray_d, center, normal,
+                                           depth)
+            xy, mvalid = match_points(
+                cam_oth, pts, pvalid, cfg.image_scale,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion)
+            return (), warp_other(gray_oth, mask_oth, xy[..., 0],
+                                  xy[..., 1], mvalid)
+
+        _, (warp_vol, wv_vol) = lax.scan(
+            warp_at, (), jnp.arange(cfg.num_depth_levels))
+        inb = jnp.ones((h, w), bool).at[-1, :].set(False).at[:, -1].set(
+            False)
+        min_cost, second, best = pallas_cost_wta(
+            depths, warp_vol, wv_vol, gray_ref, mask_ref & inb, weights,
+            radius=radius, max_color_diff=cfg.max_color_diff,
+            bad_ret=cfg.bad_ret)
+        best = jnp.where(min_cost > cfg.second_best_factor * second,
+                         jnp.inf, best)
+        return jnp.where(mask_ref, best, jnp.nan).astype(dtype)
+
     def cost_at(d_idx):
         depth = depths[d_idx]
         pts, pvalid = point_from_depth(ray_o, ray_d, center, normal, depth)
@@ -136,6 +164,24 @@ def compute_depth_map_oneview(
                 ref_view, warped, wvalid,
                 max_color_diff=cfg.max_color_diff, bad_ret=cfg.bad_ret)
         return cost, jnp.full((h, w), depth, dtype)
+
+    if use_mrf:
+        # Dense-label MRF over the cost volume (the reference's USE_MRF
+        # graph-cut path, twoviewstereo.cpp:335-403) via min-sum BP with
+        # truncated-linear smoothness.
+        from .mrf import twoview_bp
+
+        def collect(_, d_idx):
+            cost, _ = cost_at(d_idx)
+            return (), cost
+
+        _, volume = lax.scan(collect, (), jnp.arange(cfg.num_depth_levels))
+        labels, _ = twoview_bp(
+            volume, smoothness_lambda=cfg.smoothness_lambda,
+            smoothness_max=cfg.smoothness_max,
+            smoothness_exp=cfg.smoothness_exp)
+        best = depths[labels]
+        return jnp.where(mask_ref, best, jnp.nan)
 
     min_cost, second, best = _wta_scan(cost_at, depths, (h, w), dtype)
 

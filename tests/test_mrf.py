@@ -69,3 +69,45 @@ class TestOptimize:
         # most pixels should land on the consistent 60-plane
         frac60 = np.mean(np.isclose(depth, 60.0))
         assert frac60 > 0.9, f"only {frac60} at 60"
+
+
+class TestTwoViewBP:
+    def test_denoises_cost_volume(self, rng):
+        from stereoreconstruction_tpu.stereo.mrf import twoview_bp
+        import jax.numpy as jnp
+        # true labels: two flat regions; unary noise flips 20% of pixels
+        D, h, w = 12, 20, 28
+        true = np.full((h, w), 3)
+        true[:, 14:] = 8
+        costs = np.full((D, h, w), 5.0, np.float32)
+        for y in range(h):
+            for x in range(w):
+                costs[true[y, x], y, x] = 0.5
+        flip = rng.uniform(size=(h, w)) < 0.2
+        wrong = rng.integers(0, D, (h, w))
+        costs[wrong[flip], *np.where(flip)] = 0.2
+        labels, trace = twoview_bp(jnp.asarray(costs),
+                                   smoothness_lambda=0.8,
+                                   smoothness_max=4.0)
+        labels = np.asarray(labels)
+        acc = (labels == true).mean()
+        assert acc > 0.9, f"accuracy {acc}"
+        assert trace[-1] <= trace[0]
+
+    def test_engine_mrf_path_runs(self, rng):
+        import jax.numpy as jnp
+        from test_twoview import make_scene, CFG
+        from stereoreconstruction_tpu.stereo.twoview import (
+            compute_depth_map_oneview)
+        rgb_l, mask_l, rgb_r, mask_r, cam_l, cam_r, _, _ = make_scene(rng)
+        gray = lambda im: (0.11 * im[..., 0] + 0.59 * im[..., 1]
+                           + 0.3 * im[..., 2])
+        d = compute_depth_map_oneview(
+            jnp.asarray(rgb_l, jnp.float32), jnp.asarray(gray(rgb_l),
+                                                         jnp.float32),
+            jnp.asarray(mask_l), jnp.asarray(gray(rgb_r), jnp.float32),
+            jnp.asarray(mask_r), cam_l.astype(jnp.float32),
+            cam_r.astype(jnp.float32), CFG, use_mrf=True)
+        d = np.asarray(d)
+        assert np.isfinite(d[mask_l]).mean() > 0.9
+        assert np.isnan(d[~mask_l]).all()
