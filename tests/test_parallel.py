@@ -73,7 +73,7 @@ class TestTopKMerge:
             return merge_topk(ln, ld, k, "row")
 
         from jax.sharding import NamedSharding
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         f = shard_map(shard_fn, mesh=mesh,
                       in_specs=(P("row"), P("row")),
                       out_specs=(P(), P()), check_rep=False)
@@ -84,7 +84,7 @@ class TestTopKMerge:
 
 class TestShardedBA:
     def test_psum_blocks_match(self, rng):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         n_cams, n_pts, n_obs = 3, 16, 64
         Ks = jnp.asarray(np.stack(
             [np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])] * 3))
