@@ -76,7 +76,7 @@ class TestTopKMerge:
         from jax import shard_map
         f = shard_map(shard_fn, mesh=mesh,
                       in_specs=(P("row"), P("row")),
-                      out_specs=(P(), P()), check_rep=False)
+                      out_specs=(P(), P()), check_vma=False)
         mn, md = f(jnp.asarray(ncc), jnp.asarray(depth))
         np.testing.assert_allclose(np.asarray(mn), np.asarray(gn),
                                    atol=1e-6)
