@@ -215,6 +215,125 @@ def _grow_lattice(cands: np.ndarray, seed: int):
     return grid
 
 
+def _fit_homography(ij: np.ndarray, xy: np.ndarray) -> Optional[np.ndarray]:
+    """Normalized DLT homography mapping lattice coords -> image coords."""
+    if len(ij) < 4:
+        return None
+
+    def normalize(p):
+        c = p.mean(axis=0)
+        s = np.sqrt(2.0) / max(np.mean(np.hypot(*(p - c).T)), 1e-12)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return T
+
+    Ta, Tb = normalize(ij), normalize(xy)
+    a = (Ta @ np.c_[ij, np.ones(len(ij))].T).T
+    b = (Tb @ np.c_[xy, np.ones(len(xy))].T).T
+    A = np.zeros((2 * len(ij), 9))
+    A[0::2, 0:3] = a
+    A[0::2, 6:9] = -b[:, [0]] * a
+    A[1::2, 3:6] = a
+    A[1::2, 6:9] = -b[:, [1]] * a
+    _, _, vt = np.linalg.svd(A)
+    H = vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Tb) @ H @ Ta
+    if abs(H[2, 2]) < 1e-12:
+        return None
+    return H / H[2, 2]
+
+
+def _apply_h(H: np.ndarray, ij: np.ndarray) -> np.ndarray:
+    p = (H @ np.c_[ij, np.ones(len(ij))].T).T
+    return p[:, :2] / p[:, [2]]
+
+
+def _complete_window(gray, resp, cands, vals, grid, bi, bj, nc, nr, swap,
+                     cols, rows):
+    """Try to produce all cols x rows corners for the window at (bi, bj).
+
+    Present lattice nodes anchor a homography (i,j) -> (x,y); missing or
+    homography-inconsistent nodes are predicted from it, subpixel-refined on
+    the image, and validated by a positive saddle response near the
+    prediction.  Returns [rows*cols, 2] row-major corners or None.
+    """
+    h, w = gray.shape
+    ij, xy, out_key = [], [], []
+    missing = []
+    for c in range(nc):
+        for r in range(nr):
+            key = (r, c) if swap else (c, r)
+            v = grid.get((bi + c, bj + r))
+            if v is None:
+                missing.append((c, r, key))
+            else:
+                ij.append((c, r))
+                xy.append(cands[v])
+                out_key.append(key)
+    if len(ij) < max(8, int(0.7 * nc * nr)):
+        return None
+    ij = np.asarray(ij, np.float64)
+    xy = np.asarray(xy, np.float64)
+
+    # Robust (trimmed) fit: a few mis-assigned lattice nodes can poison a
+    # plain least-squares homography badly enough that *every* residual
+    # looks like an outlier; refitting on the best half first makes the
+    # residual test meaningful.
+    H = _fit_homography(ij, xy)
+    if H is None:
+        return None
+    for trim in (0.75, 0.6):
+        resid = np.hypot(*(_apply_h(H, ij) - xy).T)
+        keep = np.argsort(resid)[:max(8, int(trim * len(ij)))]
+        H2 = _fit_homography(ij[keep], xy[keep])
+        if H2 is None:
+            break
+        H = H2
+
+    # reject homography-inconsistent assignments (clutter absorbed into the
+    # lattice) and re-predict them alongside the truly missing nodes
+    pred = _apply_h(H, ij)
+    cell = np.median(np.hypot(*( _apply_h(H, ij + [1, 0]) - pred).T))
+    resid = np.hypot(*(pred - xy).T)
+    bad = resid > 0.25 * cell
+    if bad.sum() > 0.3 * len(ij):
+        return None
+    if bad.any():
+        for k in np.where(bad)[0]:
+            missing.append((int(ij[k, 0]), int(ij[k, 1]), out_key[k]))
+        keep = ~bad
+        ij, xy = ij[keep], xy[keep]
+        out_key = [k for k, m in zip(out_key, keep) if m]
+        if len(ij) < max(8, int(0.7 * nc * nr)):
+            return None
+        H = _fit_homography(ij, xy)
+        if H is None:
+            return None
+
+    corners = {k: p for k, p in zip(out_key, xy)}
+    if missing:
+        mij = np.asarray([(c, r) for c, r, _ in missing], np.float64)
+        guesses = _apply_h(H, mij)
+        refined = refine_subpixel(gray, guesses.copy(),
+                                  win=max(3, min(6, int(0.35 * cell))))
+        for (c, r, key), g, p in zip(missing, guesses, refined):
+            if not (1 <= p[0] < w - 1 and 1 <= p[1] < h - 1):
+                return None
+            if np.hypot(*(p - g)) > 0.3 * cell:
+                return None
+            # a true X-corner has a positive (saddle) response at the point
+            iy, ix = int(round(p[1])), int(round(p[0]))
+            y0, y1 = max(0, iy - 1), min(h, iy + 2)
+            x0, x1 = max(0, ix - 1), min(w, ix + 2)
+            if resp[y0:y1, x0:x1].max() <= 0:
+                return None
+            corners[key] = p
+
+    out = np.zeros((rows * cols, 2))
+    for (c, r), p in corners.items():
+        out[r * cols + c] = p
+    return out
+
+
 def find_chessboard_corners(gray: np.ndarray, cols: int, rows: int,
                             max_candidates: Optional[int] = None
                             ) -> Optional[np.ndarray]:
@@ -229,7 +348,7 @@ def find_chessboard_corners(gray: np.ndarray, cols: int, rows: int,
 
     resp = saddle_response(gray)
     cands, vals = _nms_candidates(resp, max_candidates)
-    if len(cands) < n_expect:
+    if len(cands) < int(0.7 * n_expect):
         return None
     cands = refine_subpixel(gray, cands)
 
@@ -242,49 +361,51 @@ def find_chessboard_corners(gray: np.ndarray, cols: int, rows: int,
     seen = set()
     seeds = [s for s in seeds if not (s in seen or seen.add(s))]
 
-    coord = None
-    best_score = -np.inf
+    # The grown lattice may exceed the board (border/backdrop saddles):
+    # slide a (cols x rows) window over lattice coords — in both axis
+    # orders — and keep the window with the most present nodes (ties: the
+    # strongest total saddle response; true inner corners respond far
+    # stronger).  Windows with a few holes are completed by homography
+    # prediction + local refinement (_complete_window) — grazing views and
+    # small boards routinely lose 1-10 corners to NMS/growth.
+    corners = None
+    best = (-1, -np.inf)  # (present count, response sum)
     for seed in seeds:
         grid = _grow_lattice(cands, int(seed))
-        if len(grid) < n_expect:
+        if len(grid) < int(0.7 * n_expect):
             continue
-        # The grown lattice may exceed the board (border/backdrop saddles):
-        # slide a (cols x rows) window over lattice coords — in both axis
-        # orders — and keep the complete window with the strongest total
-        # saddle response (true inner corners respond far stronger).
         ii = np.array([k[0] for k in grid])
         jj = np.array([k[1] for k in grid])
+        # rank all windows by (present count, response sum) first;
+        # completion (homography fit + refinement) only runs on the best few
+        windows = []
         for swap in (False, True):
             nc, nr = (cols, rows) if not swap else (rows, cols)
             for bi in range(ii.min(), ii.max() - nc + 2):
                 for bj in range(jj.min(), jj.max() - nr + 2):
-                    score = 0.0
-                    window = {}
-                    complete = True
+                    cnt, score = 0, 0.0
                     for c in range(nc):
                         for r in range(nr):
                             v = grid.get((bi + c, bj + r))
-                            if v is None:
-                                complete = False
-                                break
-                            score += vals[v]
-                            if swap:
-                                window[(r, c)] = v
-                            else:
-                                window[(c, r)] = v
-                        if not complete:
-                            break
-                    if complete and score > best_score:
-                        best_score = score
-                        coord = window
-        if coord is not None:
+                            if v is not None:
+                                cnt += 1
+                                score += vals[v]
+                    if cnt >= int(0.7 * n_expect):
+                        windows.append((cnt, score, bi, bj, nc, nr, swap))
+        windows.sort(reverse=True)
+        for cnt, score, bi, bj, nc, nr, swap in windows[:4]:
+            if (cnt, score) <= best:
+                continue
+            got = _complete_window(gray, resp, cands, vals, grid,
+                                   bi, bj, nc, nr, swap, cols, rows)
+            if got is not None:
+                best = (cnt, score)
+                corners = got
+                break
+        if corners is not None and best[0] == n_expect:
             break
-    if coord is None:
+    if corners is None:
         return None
-
-    corners = np.zeros((rows * cols, 2))
-    for (c, r), v in coord.items():
-        corners[r * cols + c] = cands[v]
 
     # orientation: flip columns/rows so the column direction points
     # image-right and the row direction points image-down.  For a rig whose
