@@ -35,6 +35,7 @@ from ..config import RefractionConfig
 from ..geometry.camera import Camera, unproject
 from ..geometry.rays import closest_points
 from ..optim.lm import lm_optimize, LMResult
+from ..runtime.trace import metric, trace
 
 _EPS = 1e-10
 
@@ -197,10 +198,16 @@ def calibrate(cams: Sequence[Camera], p1, p2, vi1, vi2,
             fd_steps[3 * v + 2] = (cfg.step_py, cfg.step_py)
             fd_steps[3 * v + 3] = (0.0, cfg.step_dist)
 
-    res: LMResult = lm_optimize(
-        residual_fn, model0, fixed=fixed,
-        max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
-        validate_fn=validate, fd_steps=fd_steps)
+    with trace("refraction/lm"):
+        res: LMResult = lm_optimize(
+            residual_fn, model0, fixed=fixed,
+            max_iterations=cfg.max_iterations, epsilon=cfg.epsilon,
+            validate_fn=validate, fd_steps=fd_steps)
+
+    # structured replacement for the reference's chi^2 before/after prints
+    # (refractioncalibration.cpp:387-396)
+    metric("refraction/chi2_before", res.initial_chi2)
+    metric("refraction/chi2_after", res.chi2)
 
     ok = bool(np.all(np.isfinite(res.model)))
     return RefractionCalibrationResult(

@@ -30,6 +30,7 @@ from ..geometry.camera import Camera, make_camera
 from ..geometry.rays import closest_points
 from .zhang import calibrate_camera, stereo_calibrate
 from .floydwarshall import FloydWarshall
+from ..runtime.trace import metric, trace
 
 
 def board_object_points(cfg: CalibrationConfig) -> np.ndarray:
@@ -225,11 +226,17 @@ class CameraCalibration:
             rng.shuffle(indices)
             subset = list(indices[:num])
 
-            self.estimate_intrinsics(state, subset)
+            with trace("calibrate/intrinsics"):
+                self.estimate_intrinsics(state, subset)
             if self.find_extrinsics:
-                self.estimate_extrinsics(state, subset)
+                with trace("calibrate/extrinsics"):
+                    self.estimate_extrinsics(state, subset)
 
             err = self.compute_error(state)
+            # structured replacement for the reference's per-iteration
+            # qDebug print of the mean reprojection error
+            # (calibrate.cpp:727,798)
+            metric("calibrate/mean_reprojection_error", err, "px")
             errors.append(err)
             if err > 1e-10 and err + 1e-10 < lowest:
                 best = state.copy()

@@ -141,6 +141,7 @@ def cmd_stereo(args):
     from .config import MultiViewConfig, TwoViewConfig
     from .data.images import load_image
     from .data.ply import write_ply
+    from .runtime.trace import metric as trace_metric
     from .stereo.multiview import mvs_depth_maps, depth_maps_to_ply
     from .stereo.twoview import compute_depth_maps
     from .viz.render import save_depth_image
@@ -182,6 +183,7 @@ def cmd_stereo(args):
     for i, cid in enumerate(cam_ids[:len(depths)]):
         d = depths[i]
         have = np.isfinite(d) & (d > 0)
+        trace_metric(f"stereo/coverage/{cid}", 100.0 * have.mean(), "%")
         print(f"{cid}: {100.0 * have.mean():.1f}% of pixels have depth "
               "hypotheses")
         save_depth_image(d, os.path.join(outdir, f"depth_{cid}.png"),
@@ -242,6 +244,14 @@ def main(argv=None):
         sp.add_argument("-o", "--output")
         sp.add_argument("--image-set", action="append", default=None)
         sp.add_argument("--cameras", nargs="*", default=None)
+        sp.add_argument("--trace", metavar="JSON", nargs="?", const="-",
+                        default=None,
+                        help="print a stage-timer/metric summary to stderr "
+                             "on exit; with a path, also dump structured "
+                             "JSON there")
+        sp.add_argument("--device-trace", metavar="LOGDIR", default=None,
+                        help="capture a jax/XLA device profile of the whole "
+                             "command into LOGDIR (view with xprof)")
 
     sp = sub.add_parser("info")
     common(sp)
@@ -305,7 +315,18 @@ def main(argv=None):
         except Exception:
             pass
 
-    return args.fn(args) or 0
+    import contextlib
+    from .runtime import trace as tracing
+    with contextlib.ExitStack() as stack:
+        if getattr(args, "device_trace", None):
+            stack.enter_context(tracing.device_trace(args.device_trace))
+        with tracing.trace(args.cmd):
+            rc = args.fn(args) or 0
+    if getattr(args, "trace", None) is not None:
+        print(tracing.summary(), file=sys.stderr)
+        if args.trace != "-":
+            tracing.get_tracer().dump_json(args.trace)
+    return rc
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from ..config import MultiViewConfig
 from ..geometry.camera import Camera, project, unproject, principal_ray
 from ..ops.ncc import _left_windows, twoview_cost_plane
 from ..ops.weights import compute_weights
+from ..runtime.trace import trace
 from .depthsweep import (
     depth_labels_uniform,
     pixel_rays,
@@ -266,8 +267,7 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
     grays = (0.11 * rgbs[..., 0] + 0.59 * rgbs[..., 1]
              + 0.3 * rgbs[..., 2])
 
-    depths = []
-    for i in range(n_views):
+    def initial_estimate(i):
         nbr = neighbours[i]
         cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs),
                                 *[cams[j] for j in nbr])
@@ -283,24 +283,28 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
             res = trws_optimize(top_ncc, top_depth, cfg,
                                 max_iters=cfg.mrf_max_iters)
             d = labels_to_depth(res.labels, top_depth)
-            d = jnp.where(masks[i], d, jnp.inf)
-        else:
-            d = mvs_initial_estimate_oneview(
-                rgbs[i], grays[i], masks[i],
-                grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
-                cams[i], cams_nbr, cfg, len(nbr),
-                enable_refraction=enable_refraction,
-                enable_distortion=enable_distortion, method=method)
-        depths.append(d)
+            return jnp.where(masks[i], d, jnp.inf)
+        return mvs_initial_estimate_oneview(
+            rgbs[i], grays[i], masks[i],
+            grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
+            cams[i], cams_nbr, cfg, len(nbr),
+            enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion, method=method)
+
+    depths = []
+    for i in range(n_views):
+        with trace(f"mvs/view{i}/initial_estimate"):
+            depths.append(initial_estimate(i))
 
     if cross_check:
         cams_all = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
-        for i in range(n_views):
-            stacked = jnp.stack(depths)
-            depths[i] = mvs_cross_check_oneview(
-                depths[i], stacked, i, cams[i], cams_all, cfg,
-                enable_refraction=enable_refraction,
-                enable_distortion=enable_distortion)
+        with trace("mvs/cross_check"):
+            for i in range(n_views):
+                stacked = jnp.stack(depths)
+                depths[i] = mvs_cross_check_oneview(
+                    depths[i], stacked, i, cams[i], cams_all, cfg,
+                    enable_refraction=enable_refraction,
+                    enable_distortion=enable_distortion)
     return jnp.stack(depths)
 
 

@@ -31,6 +31,7 @@ from ..config import TwoViewConfig
 from ..geometry.camera import Camera, project, unproject, principal_ray
 from ..ops.ncc import _left_windows, twoview_cost_plane, sad_cost_plane
 from ..ops.weights import compute_weights
+from ..runtime.trace import trace
 from .depthsweep import (
     depth_labels_twoview,
     pixel_rays,
@@ -295,18 +296,26 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     cam_l = cam_l.astype(dtype)
     cam_r = cam_r.astype(dtype)
 
-    depth_l = compute_depth_map_oneview(
-        rgb_l, gray_l, mask_l, gray_r, mask_r, cam_l, cam_r, cfg,
-        enable_refraction=enable_refraction,
-        enable_distortion=enable_distortion, method=method)
-    depth_r = compute_depth_map_oneview(
-        rgb_r, gray_r, mask_r, gray_l, mask_l, cam_r, cam_l, cfg,
-        enable_refraction=enable_refraction,
-        enable_distortion=enable_distortion, method=method)
+    # Stage timers replace the reference's QTime+qDebug prints around each
+    # cost-volume pass (twoviewstereo.cpp:260,333,431,501).  Device work is
+    # dispatched asynchronously, so per-stage wall clock covers dispatch
+    # (plus compile on first call); use runtime.trace.device_trace for a
+    # real per-op device profile.
+    with trace("twoview/left"):
+        depth_l = compute_depth_map_oneview(
+            rgb_l, gray_l, mask_l, gray_r, mask_r, cam_l, cam_r, cfg,
+            enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion, method=method)
+    with trace("twoview/right"):
+        depth_r = compute_depth_map_oneview(
+            rgb_r, gray_r, mask_r, gray_l, mask_l, cam_r, cam_l, cfg,
+            enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion, method=method)
 
     if cross_check:
-        depth_l, depth_r = cross_check_pair(
-            depth_l, depth_r, cam_l, cam_r, cfg,
-            enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion)
+        with trace("twoview/cross_check"):
+            depth_l, depth_r = cross_check_pair(
+                depth_l, depth_r, cam_l, cam_r, cfg,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion)
     return TwoViewResult(depth_left=depth_l, depth_right=depth_r)
