@@ -175,9 +175,14 @@ def cmd_stereo(args):
                               cross_check_threshold=args.cross_check,
                               image_scale=args.scale,
                               use_mrf=args.mrf)
+        ckpt = None
+        if args.resume:
+            from .runtime.checkpoint import DepthCheckpoint
+            ckpt = DepthCheckpoint(os.path.join(outdir, "checkpoint"), cfg)
         depths = np.asarray(mvs_depth_maps(
             np.stack([i.rgb for i in imgs]),
-            np.stack([i.mask for i in imgs]), cams, cfg))
+            np.stack([i.mask for i in imgs]), cams, cfg,
+            checkpoint=ckpt, view_ids=cam_ids))
         style = "mvs"
 
     for i, cid in enumerate(cam_ids[:len(depths)]):
@@ -291,6 +296,10 @@ def main(argv=None):
     sp.add_argument("--scale", type=float, default=0.5)
     sp.add_argument("--two-view", action="store_true")
     sp.add_argument("--mrf", action="store_true")
+    sp.add_argument("--resume", action="store_true",
+                    help="checkpoint each view's depth map under "
+                         "<output>/checkpoint/ and skip views already "
+                         "computed with the same config (mid-task resume)")
     sp.set_defaults(fn=cmd_stereo)
 
     sp = sub.add_parser("hdr")

@@ -252,11 +252,19 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
 def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
                    cfg: MultiViewConfig, *, cross_check=True,
                    enable_refraction=True, enable_distortion=True,
-                   method: str = "fast", dtype=jnp.float32):
+                   method: str = "fast", dtype=jnp.float32,
+                   checkpoint=None, view_ids: Sequence[str] = None):
     """Full MultiViewStereo::runTask flow (WTA path).
 
     rgbs: [V, H, W, 3] numpy/jnp (0..255); masks: [V, H, W] bool.
     Returns depths [V, H, W].
+
+    checkpoint: optional ``runtime.checkpoint.DepthCheckpoint``; each view's
+    initial estimate is persisted as it completes and already-checkpointed
+    views are skipped, so an interrupted run resumes mid-task (a capability
+    the reference lacks — its depth maps are never persisted,
+    twoviewstereo.cpp:175,197).  view_ids names the views in the store
+    (defaults to the index).
     """
     n_views = len(cams)
     neighbours = select_neighbours(cams, cfg)
@@ -291,10 +299,22 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
             enable_refraction=enable_refraction,
             enable_distortion=enable_distortion, method=method)
 
+    if view_ids is None:
+        view_ids = [str(i) for i in range(n_views)]
+
     depths = []
     for i in range(n_views):
+        if checkpoint is not None:
+            saved = checkpoint.load(view_ids[i],
+                                    expect_shape=grays.shape[1:])
+            if saved is not None:
+                depths.append(jnp.asarray(saved, dtype))
+                continue
         with trace(f"mvs/view{i}/initial_estimate"):
-            depths.append(initial_estimate(i))
+            d = initial_estimate(i)
+            if checkpoint is not None:
+                checkpoint.save(view_ids[i], np.asarray(d))
+            depths.append(d)
 
     if cross_check:
         cams_all = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)

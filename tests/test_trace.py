@@ -75,7 +75,7 @@ class TestTracer:
         from stereoreconstruction_tpu.runtime import trace as tracing
         from stereoreconstruction_tpu.config import TwoViewConfig
         from stereoreconstruction_tpu.stereo.twoview import compute_depth_maps
-        from tests.test_twoview import make_scene
+        from test_twoview import make_scene
 
         tracing.reset()
         rng = np.random.default_rng(0)
