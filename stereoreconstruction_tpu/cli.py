@@ -240,6 +240,86 @@ def cmd_layout(args):
     print(f"wrote {out}")
 
 
+def cmd_cloud(args):
+    """Render a PLY point cloud/mesh to a PNG (PointsViewScene equivalent;
+    --splats uses the Botsch-Kobbelt surface-splat path,
+    gui/widgets/pointsviewscene.cpp USE_SPLATS)."""
+    from .data.ply import read_ply_full, generate_normals
+    d = read_ply_full(args.ply)
+    out = args.output or os.path.splitext(args.ply)[0] + ".png"
+    if args.splats:
+        from .viz.splats import render_splats
+        normals = d.normals
+        if normals is None:
+            normals = generate_normals(d.points, d.faces)
+        render_splats(d.points, d.colors, out, normals=normals,
+                      elev=args.elev, azim=args.azim,
+                      width=args.size, height=args.size)
+    else:
+        from .viz.render import render_point_cloud
+        render_point_cloud(d.points, d.colors, out,
+                           elev=args.elev, azim=args.azim)
+    print(f"wrote {out} ({len(d.points)} points)")
+    return 0
+
+
+def cmd_convert_raw(args):
+    """RAW (GRBG Bayer) -> PNG conversion over a directory tree, replicating
+    MainWindow::on_actionConvert_RAW_images_triggered (gui/mainwindow.cpp:
+    1054-1104): recurse, take ``*.raw`` files whose size is exactly w*h,
+    demosaic (edge-sensing by default, like the GUI), write ``<base>.png``
+    alongside.  The reference always deletes the original (and even deletes
+    wrong-sized files); we only do so under --delete."""
+    from PIL import Image
+    from .data import demosaic as dm
+    algo = {"es": dm.demosaic_es, "nn": dm.demosaic_nn,
+            "bl": dm.demosaic_bl, "hue": dm.demosaic_hue}[args.algorithm]
+    w, h = args.width, args.height
+    n = 0
+    for root, _dirs, files in os.walk(args.dir):
+        for fname in files:
+            if not fname.endswith(".raw"):
+                continue
+            path = os.path.join(root, fname)
+            if os.path.getsize(path) != w * h:
+                print(f"skipping {path}: size != {w * h}", file=sys.stderr)
+                continue
+            raw = np.fromfile(path, np.uint8).reshape(h, w)
+            rgb = algo(raw)
+            out = os.path.splitext(path)[0] + ".png"
+            Image.fromarray(rgb.astype(np.uint8), "RGB").save(out)
+            if args.delete:
+                os.remove(path)
+            n += 1
+    print(f"converted {n} RAW images")
+    return 0
+
+
+def cmd_pmvs(args):
+    """Export the project in PMVS-2 input layout (projection matrices +
+    images + option.txt), replicating MainWindow's PMVS export + PMVSDialog
+    (gui/mainwindow.cpp:983-1035, gui/dialogs/pmvsdialog.cpp:52-71).
+    Prints the pmvs-2 command line instead of spawning it."""
+    from .data.pmvs import export_pmvs
+    proj = _load(args.project)
+    if not args.image_set:
+        p = argparse.ArgumentParser()
+        p.error("pmvs requires --image-set")
+    iset = proj.image_sets[args.image_set]
+    cam_ids = args.cameras or sorted(
+        c for c in proj.cameras
+        if iset.default_image_for_camera(c) is not None)
+    recs = [proj.cameras[c] for c in cam_ids]
+    paths = [iset.default_image_for_camera(c).file for c in cam_ids]
+    out = args.output or "pmvs"
+    argv = export_pmvs(out, recs, paths, level=args.level,
+                       csize=args.csize, threshold=args.pmvs_threshold,
+                       wsize=args.wsize, min_image_num=args.min_image_num)
+    print(f"exported {len(paths)} views to {out}")
+    print("run:", " ".join(argv))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="stereoreconstruction_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -310,8 +390,39 @@ def main(argv=None):
     common(sp)
     sp.set_defaults(fn=cmd_layout)
 
+    sp = sub.add_parser("cloud")
+    sp.add_argument("ply")
+    sp.add_argument("-o", "--output")
+    sp.add_argument("--splats", action="store_true",
+                    help="Botsch-Kobbelt surface splatting (USE_SPLATS)")
+    sp.add_argument("--elev", type=float, default=-70.0)
+    sp.add_argument("--azim", type=float, default=-90.0)
+    sp.add_argument("--size", type=int, default=800)
+    sp.set_defaults(fn=cmd_cloud)
+
+    sp = sub.add_parser("convert-raw")
+    sp.add_argument("dir")
+    sp.add_argument("--width", type=int, required=True)
+    sp.add_argument("--height", type=int, required=True)
+    sp.add_argument("--algorithm", choices=("es", "nn", "bl", "hue"),
+                    default="es")
+    sp.add_argument("--delete", action="store_true",
+                    help="remove originals after conversion (the "
+                         "reference's behavior)")
+    sp.set_defaults(fn=cmd_convert_raw)
+
+    sp = sub.add_parser("pmvs")
+    common(sp)
+    sp.add_argument("--level", type=int, default=1)
+    sp.add_argument("--csize", type=int, default=2)
+    sp.add_argument("--pmvs-threshold", type=float, default=0.7)
+    sp.add_argument("--wsize", type=int, default=7)
+    sp.add_argument("--min-image-num", type=int, default=3)
+    sp.set_defaults(fn=cmd_pmvs)
+
     args = p.parse_args(argv)
-    if getattr(args, "image_set", None) and args.cmd in ("stereo", "hdr"):
+    if getattr(args, "image_set", None) and args.cmd in ("stereo", "hdr",
+                                                         "pmvs"):
         args.image_set = args.image_set[0]
 
     if args.cmd != "stereo":
