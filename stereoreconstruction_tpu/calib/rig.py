@@ -73,6 +73,11 @@ class RigCalibrationResult:
     state: RigCalibrationState
     error: float
     per_iteration_errors: List[float]
+    # observations (cam_index, set_index) dropped as inconsistent (only
+    # when CalibrationConfig.prune_outlier_boards); error/error_all are the
+    # mean reprojection error over inliers / over everything
+    outlier_observations: List[Tuple[int, int]] = field(default_factory=list)
+    error_all: float = np.nan
 
 
 class CameraCalibration:
@@ -93,9 +98,14 @@ class CameraCalibration:
 
     # -- error metric (calibrate.cpp:284-329) --------------------------------
 
-    def compute_error(self, state: RigCalibrationState) -> float:
-        total = 0.0
-        count = 0
+    def board_errors(self, state: RigCalibrationState,
+                     image_points=None
+                     ) -> Dict[Tuple[int, int, int], float]:
+        """Mean symmetric reprojection error per (cam_a, cam_b, set) board
+        observation pair — same math as compute_error, grouped so outlier
+        boards can be attributed."""
+        image_points = image_points or self.image_points
+        out: Dict[Tuple[int, int, int], float] = {}
         cams = [state.camera(i) for i in range(self.n_cams)]
         import jax.numpy as jnp
         from ..geometry.camera import unproject, project
@@ -103,13 +113,12 @@ class CameraCalibration:
         for a in range(self.n_cams):
             for b in range(a + 1, self.n_cams):
                 for s in range(self.n_sets):
-                    pa = self.image_points[a][s]
-                    pb = self.image_points[b][s]
+                    pa = image_points[a][s]
+                    pb = image_points[b][s]
                     if (pa is None or pb is None
                             or len(pa) != self.n_corners
                             or len(pb) != self.n_corners):
                         continue
-                    count += self.n_corners
                     o1, d1 = unproject(cams[a], jnp.asarray(pa))
                     o2, d2 = unproject(cams[b], jnp.asarray(pb))
                     q1, q2 = closest_points(o1, d1, o2, d2)
@@ -121,10 +130,17 @@ class CameraCalibration:
                     db = np.linalg.norm(np.asarray(xy_b) - pb, axis=-1)
                     d = np.where(ok, 0.5 * (da + db), 0.0)
                     d = np.where(np.isfinite(d), d, 0.0)
-                    total += float(d.sum())
-        if count == 0:
+                    out[(a, b, s)] = float(d.mean())
+        return out
+
+    def compute_error(self, state: RigCalibrationState,
+                      image_points=None) -> float:
+        errs = self.board_errors(state, image_points)
+        if not errs:
             return np.inf
-        return total / count
+        # every board contributes n_corners equally-weighted corners, so
+        # the corner mean equals the mean of per-board means
+        return float(np.mean(list(errs.values())))
 
     # -- stages --------------------------------------------------------------
 
@@ -244,13 +260,106 @@ class CameraCalibration:
             if num == self.n_sets:
                 break
 
+        outliers: List[Tuple[int, int]] = []
+        error_all = lowest
+        points = self.image_points
+        if cfg.prune_outlier_boards and np.isfinite(lowest):
+            points, outliers = self._prune_outliers(best)
+            if outliers:
+                state = RigCalibrationState.identity(self.n_cams)
+                subset = [s for s in range(self.n_sets)
+                          if any(points[c][s] is not None
+                                 for c in range(self.n_cams))]
+                saved = self.image_points
+                self.image_points = points
+                try:
+                    with trace("calibrate/refit_inliers"):
+                        self.estimate_intrinsics(state, subset)
+                        if self.find_extrinsics:
+                            self.estimate_extrinsics(state, subset)
+                finally:
+                    self.image_points = saved
+                err = self.compute_error(state, points)
+                metric("calibrate/inlier_reprojection_error", err, "px")
+                errors.append(err)
+                best_on_inliers = self.compute_error(best, points)
+                if err + 1e-10 < best_on_inliers:
+                    best, lowest = state, err
+                else:
+                    lowest = best_on_inliers
+
         if cfg.use_bundle_adjust and np.isfinite(lowest):
             from .bundle import bundle_adjust_rig
-            adjusted = bundle_adjust_rig(best, self.image_points, self.obj)
-            err = self.compute_error(adjusted)
+            adjusted = bundle_adjust_rig(best, points, self.obj)
+            err = self.compute_error(adjusted, points)
             errors.append(err)
             if err + 1e-10 < lowest:
                 best, lowest = adjusted, err
 
         return RigCalibrationResult(state=best, error=lowest,
-                                    per_iteration_errors=errors)
+                                    per_iteration_errors=errors,
+                                    outlier_observations=outliers,
+                                    error_all=error_all)
+
+    def _obs_error(self, state: RigCalibrationState, points,
+                   c: int, s: int) -> float:
+        """Mean pairwise board error of observation (cam c, set s) against
+        every other camera seeing set s (using ``points``)."""
+        errs = []
+        sub = [[points[a][t] if t == s else None
+                for t in range(self.n_sets)] for a in range(self.n_cams)]
+        bes = self.board_errors(state, sub)
+        for (a, b, t), e in bes.items():
+            if t == s and (a == c or b == c):
+                errs.append(e)
+        return float(np.mean(errs)) if errs else np.inf
+
+    def _prune_outliers(self, state: RigCalibrationState):
+        """Fix or drop (cam, set) observations whose mean pairwise board
+        error is far above the median.
+
+        Two failure modes dominate real data: 180-degree-flipped corner
+        indexing (the detector's orientation rule disagrees between
+        opposite-facing cameras; the reference fixes these by hand via the
+        GUI rotateIndicies action, checkerboard.cpp:96-120) and outright
+        misdetections.  Flip candidates are retried with reversed indices
+        and kept when that repairs them; the rest are dropped.
+
+        Returns (repaired/pruned image_points copy, [(cam, set), ...]
+        dropped).  The reference has no automatic equivalent — its RANSAC
+        subset loop only hides outliers from *fitting*, never from the
+        reported metric."""
+        cfg = self.cfg
+        bes = self.board_errors(state)
+        if not bes:
+            return self.image_points, []
+        obs_err: Dict[Tuple[int, int], List[float]] = {}
+        for (a, b, s), e in bes.items():
+            obs_err.setdefault((a, s), []).append(e)
+            obs_err.setdefault((b, s), []).append(e)
+        means = {k: float(np.mean(v)) for k, v in obs_err.items()}
+        med = float(np.median(list(means.values())))
+        thr = max(cfg.board_outlier_floor, cfg.board_outlier_factor * med)
+        candidates = sorted(k for k, v in means.items() if v > thr)
+        if not candidates:
+            return self.image_points, []
+
+        points = [[self.image_points[c][s] for s in range(self.n_sets)]
+                  for c in range(self.n_cams)]
+        outliers: List[Tuple[int, int]] = []
+        flipped = 0
+        for c, s in candidates:
+            pts = points[c][s]
+            if pts is None:
+                continue
+            points[c][s] = pts[::-1].copy()      # rotate_indices
+            err_flip = self._obs_error(state, points, c, s)
+            if err_flip <= min(thr, 0.5 * means[(c, s)]):
+                flipped += 1                     # repaired: keep the flip
+            else:
+                points[c][s] = None
+                outliers.append((c, s))
+        if flipped:
+            metric("calibrate/flip_repaired_boards", flipped, "boards")
+        metric("calibrate/outlier_boards", len(outliers), "boards")
+        return points, outliers

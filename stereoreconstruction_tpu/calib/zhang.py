@@ -204,26 +204,71 @@ class CameraCalibrationResult:
     rms: float
 
 
+def _view_outliers(per_view_rms: np.ndarray, rms_floor: float,
+                   rms_factor: float, min_keep: int) -> np.ndarray:
+    """Boolean keep-mask over views: drop views whose rms exceeds
+    max(floor, factor x median), keeping at least ``min_keep`` (the best
+    ones).  Misdetected or 180-degree-flipped boards land orders of
+    magnitude above the median and poison the whole solve otherwise."""
+    med = float(np.median(per_view_rms))
+    thr = max(rms_floor, rms_factor * med)
+    keep = per_view_rms <= thr
+    if keep.sum() < min_keep:
+        order = np.argsort(per_view_rms)
+        keep = np.zeros(len(per_view_rms), bool)
+        keep[order[:min_keep]] = True
+    return keep
+
+
 def calibrate_camera(obj_points: np.ndarray,
                      image_points: Sequence[np.ndarray],
                      image_size: Tuple[int, int],
                      K0: Optional[np.ndarray] = None,
                      dist0: Optional[np.ndarray] = None,
-                     max_iterations: int = 60) -> CameraCalibrationResult:
+                     max_iterations: int = 60,
+                     reject_outlier_views: bool = True
+                     ) -> CameraCalibrationResult:
     """cv::calibrateCamera equivalent.
 
     obj_points: [M, 3] planar board points (z = 0); image_points: V arrays
     [M, 2]; image_size: (width, height).  When ``K0`` is given it seeds the
     refinement (CV_CALIB_USE_INTRINSIC_GUESS path, calibrate.cpp:360-390).
+
+    ``reject_outlier_views`` adds a trimmed refit the reference lacks (its
+    robustness comes only from the outer RANSAC subset loop,
+    calibrate.cpp:765-822): after the first LM solve, views whose per-view
+    rms is far above the median are dropped and the solve repeats on the
+    inliers.  rvecs/tvecs of dropped views are still reported (from the
+    first solve).
     """
     obj = np.asarray(obj_points, np.float64)
-    n_views = len(image_points)
+
+    def solve(img_pts, K_init, dist_init, poses_init):
+        n_views = len(img_pts)
+        params0 = np.concatenate([
+            [K_init[0, 0], K_init[1, 1], K_init[0, 2], K_init[1, 2]],
+            dist_init, np.asarray(poses_init).ravel()])
+        meas = jnp.asarray(np.stack(img_pts))
+        obj_j = jnp.asarray(obj)
+
+        def residuals(params):
+            proj = _project_model(params, obj_j, n_views)
+            return (proj - meas).ravel()
+
+        res = lm_optimize(residuals, params0,
+                          max_iterations=max_iterations, epsilon=1e-12)
+        p = res.model
+        resid = np.asarray(residuals(jnp.asarray(p))).reshape(
+            n_views, -1, 2)
+        per_view = np.sqrt((resid ** 2).sum(-1).mean(-1))
+        return p, res.chi2, per_view
 
     Hs = [find_homography(obj[:, :2], ip) for ip in image_points]
     if K0 is None:
         K = zhang_intrinsics(Hs, image_size)
     else:
         K = np.asarray(K0, np.float64)
+    dist = np.zeros(5) if dist0 is None else np.asarray(dist0, np.float64)
 
     poses = []
     for H in Hs:
@@ -231,29 +276,34 @@ def calibrate_camera(obj_points: np.ndarray,
         poses.append(np.concatenate([rodrigues_inv(R), t]))
     poses = np.asarray(poses)
 
-    params0 = np.concatenate([
-        [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
-        np.zeros(5) if dist0 is None else np.asarray(dist0, np.float64),
-        poses.ravel()])
+    p, chi2, per_view = solve(image_points, K, dist, poses)
+    n_views = len(image_points)
+    all_poses = p[9:].reshape(n_views, 6)
 
-    meas = jnp.asarray(np.stack(image_points))
-    obj_j = jnp.asarray(obj)
+    if reject_outlier_views and n_views >= 5:
+        keep = _view_outliers(per_view, rms_floor=2.0, rms_factor=3.0,
+                              min_keep=3)
+        if not keep.all():
+            K1 = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+            sub = [ip for ip, k in zip(image_points, keep) if k]
+            p2, chi2_2, per_view2 = solve(sub, K1, p[4:9],
+                                          all_poses[keep])
+            p = np.concatenate([p2[:9], np.zeros(6 * n_views)])
+            all_poses = all_poses.copy()
+            all_poses[keep] = p2[9:].reshape(-1, 6)
+            chi2, per_view_kept = chi2_2, per_view2
+            rms = float(np.sqrt(chi2 / (obj.shape[0] * keep.sum())))
+            return CameraCalibrationResult(
+                K=np.array([[p2[0], 0, p2[2]], [0, p2[1], p2[3]],
+                            [0, 0, 1.0]]),
+                dist=p2[4:9].copy(), rvecs=all_poses[:, :3],
+                tvecs=all_poses[:, 3:], rms=rms)
 
-    def residuals(params):
-        proj = _project_model(params, obj_j, n_views)
-        return (proj - meas).ravel()
-
-    res = lm_optimize(residuals, params0, max_iterations=max_iterations,
-                      epsilon=1e-12)
-
-    p = res.model
     K = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
     dist = p[4:9].copy()
-    poses = p[9:].reshape(n_views, 6)
-    n_res = obj.shape[0] * n_views
-    rms = float(np.sqrt(res.chi2 / n_res))
-    return CameraCalibrationResult(K=K, dist=dist, rvecs=poses[:, :3],
-                                   tvecs=poses[:, 3:], rms=rms)
+    rms = float(np.sqrt(chi2 / (obj.shape[0] * n_views)))
+    return CameraCalibrationResult(K=K, dist=dist, rvecs=all_poses[:, :3],
+                                   tvecs=all_poses[:, 3:], rms=rms)
 
 
 # ---------------------------------------------------------------------------
@@ -271,12 +321,19 @@ def stereo_calibrate(obj_points: np.ndarray,
                      image_points1: Sequence[np.ndarray],
                      image_points2: Sequence[np.ndarray],
                      K1, dist1, K2, dist2,
-                     max_iterations: int = 60) -> StereoCalibrationResult:
+                     max_iterations: int = 60,
+                     reject_outlier_views: bool = True
+                     ) -> StereoCalibrationResult:
     """Relative pose (R, t): x2 = R x1 + t, refined over all board views.
 
     Unlike OpenCV's default (which also re-refines intrinsics), intrinsics
     stay fixed — the reference discards stereoCalibrate's refined intrinsics
     anyway (calibrate.cpp:491-504 uses only R, t, F, error).
+
+    ``reject_outlier_views``: after the first LM solve, boards whose
+    per-view rms is far above the median (misdetections, 180-degree index
+    flips — which only show up as *cross-view* inconsistency) are dropped
+    and the relative pose is refit on the inliers.
     """
     obj = np.asarray(obj_points, np.float64)
     n_views = len(image_points1)
@@ -320,22 +377,48 @@ def stereo_calibrate(obj_points: np.ndarray,
         return jnp.stack([K[0, 0] * xd + K[0, 2],
                           K[1, 1] * yd + K[1, 2]], -1)
 
-    def residuals(params):
-        Rrel = rodrigues(params[:3])
-        trel = params[3:6]
-        poses = params[6:].reshape(n_views, 6)
-        R1 = rodrigues(poses[:, :3])
-        t1 = poses[:, 3:]
-        p1 = jnp.einsum("vij,mj->vmi", R1, obj_j) + t1[:, None]
-        p2 = jnp.einsum("ij,vmj->vmi", Rrel, p1) + trel
-        r1 = cam_project(p1, K1j, d1j) - meas1
-        r2 = cam_project(p2, K2j, d2j) - meas2
-        return jnp.concatenate([r1.ravel(), r2.ravel()])
+    def make_residuals(m1, m2, nv):
+        def residuals(params):
+            Rrel = rodrigues(params[:3])
+            trel = params[3:6]
+            poses = params[6:].reshape(nv, 6)
+            R1 = rodrigues(poses[:, :3])
+            t1 = poses[:, 3:]
+            p1 = jnp.einsum("vij,mj->vmi", R1, obj_j) + t1[:, None]
+            p2 = jnp.einsum("ij,vmj->vmi", Rrel, p1) + trel
+            r1 = cam_project(p1, K1j, d1j) - m1
+            r2 = cam_project(p2, K2j, d2j) - m2
+            return jnp.concatenate([r1.ravel(), r2.ravel()])
+        return residuals
 
+    residuals = make_residuals(meas1, meas2, n_views)
     res = lm_optimize(residuals, params0, max_iterations=max_iterations,
                       epsilon=1e-12)
-    Rrel = np.asarray(rodrigues(jnp.asarray(res.model[:3])))
-    trel = res.model[3:6]
-    n_pts = 2 * obj.shape[0] * n_views   # points across both views
-    rms = float(np.sqrt(res.chi2 / n_pts))
+    model, chi2 = res.model, res.chi2
+    kept = n_views
+
+    if reject_outlier_views and n_views >= 5:
+        r = np.asarray(residuals(jnp.asarray(model)))
+        m = obj.shape[0]
+        r = r.reshape(2, n_views, m, 2)
+        per_view = np.sqrt((r ** 2).sum(-1).mean(-1).mean(0))   # [V]
+        keep = _view_outliers(per_view, rms_floor=2.0, rms_factor=3.0,
+                              min_keep=3)
+        if not keep.all():
+            sub1 = jnp.asarray(np.stack(
+                [p for p, k in zip(image_points1, keep) if k]))
+            sub2 = jnp.asarray(np.stack(
+                [p for p, k in zip(image_points2, keep) if k]))
+            poses = model[6:].reshape(n_views, 6)[keep]
+            params1 = np.concatenate([model[:6], poses.ravel()])
+            res2 = lm_optimize(
+                make_residuals(sub1, sub2, int(keep.sum())), params1,
+                max_iterations=max_iterations, epsilon=1e-12)
+            model, chi2 = res2.model, res2.chi2
+            kept = int(keep.sum())
+
+    Rrel = np.asarray(rodrigues(jnp.asarray(model[:3])))
+    trel = model[3:6]
+    n_pts = 2 * obj.shape[0] * kept   # points across both views
+    rms = float(np.sqrt(chi2 / n_pts))
     return StereoCalibrationResult(R=Rrel, t=trel, rms=rms)

@@ -98,6 +98,11 @@ def cmd_calibrate(args):
     res = calib.calibrate()
     print(f"mean reprojection error: {res.error:.4f} px "
           f"(per-iteration: {[round(e, 3) for e in res.per_iteration_errors]})")
+    if res.outlier_observations:
+        dropped = [(cam_ids[c], set_ids[s])
+                   for c, s in res.outlier_observations]
+        print(f"pruned {len(dropped)} inconsistent board observations "
+              f"(all-boards error {res.error_all:.2f} px): {dropped}")
 
     for i, cid in enumerate(cam_ids):
         st = res.state

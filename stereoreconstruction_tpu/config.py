@@ -76,6 +76,13 @@ class CalibrationConfig:
     subset_fraction: float = 2.0 / 3.0
     seed: int = 0                      # reproducible shuffling
     use_bundle_adjust: bool = False    # USE_SBA off by default
+    # Outlier-board pruning (ours; the reference only hides outliers from
+    # fitting via the RANSAC subset loop): after keep-best, drop (cam, set)
+    # observations whose mean pairwise board error exceeds
+    # max(floor, factor x median) and refit on the inliers.
+    prune_outlier_boards: bool = True
+    board_outlier_floor: float = 2.0   # px
+    board_outlier_factor: float = 4.0
 
 
 @dataclass(frozen=True)

@@ -142,3 +142,47 @@ class TestBundleAdjust:
                                    atol=1e-5)
         np.testing.assert_allclose(s * poses[:, 3:], true_poses[:, 3:],
                                    atol=1e-3)
+
+
+class TestOutlierRejection:
+    """Trimmed refit in calibrate_camera/stereo_calibrate: misdetected or
+    180-degree-flipped boards must not poison the solve."""
+
+    def test_rig_survives_flipped_board(self, rng):
+        image_points, Ks, cam_R, cam_t, obj = synth_rig(rng, noise=0.05)
+        # flip one board's corner indexing in ONE camera only — this is the
+        # classic failure the reference fixes by hand via rotateIndicies
+        # (checkerboard.cpp:96-120)
+        flipped = False
+        for s in range(len(image_points[1])):
+            if image_points[1][s] is not None:
+                image_points[1][s] = image_points[1][s][::-1].copy()
+                flipped = True
+                break
+        assert flipped
+        # and one pure-garbage detection in another camera
+        for s in range(len(image_points[2]) - 1, -1, -1):
+            if image_points[2][s] is not None:
+                image_points[2][s] = rng.uniform(
+                    0, 700, image_points[2][s].shape)
+                break
+        calib = CameraCalibration(image_points, [(1024, 768)] * 3, CFG)
+        res = calib.calibrate()
+        assert res.error < 1.0, res.error
+
+    def test_stereo_calibrate_drops_flipped_view(self, rng):
+        from stereoreconstruction_tpu.calib.zhang import stereo_calibrate
+        image_points, Ks, cam_R, cam_t, obj = synth_rig(
+            rng, n_cams=2, noise=0.05)
+        v1, v2 = [], []
+        for a, b in zip(image_points[0], image_points[1]):
+            if a is not None and b is not None:
+                v1.append(a)
+                v2.append(b)
+        assert len(v1) >= 6
+        v2[2] = v2[2][::-1].copy()           # flipped in the right view
+        res = stereo_calibrate(obj, v1, v2, Ks[0], np.zeros(5),
+                               Ks[1], np.zeros(5))
+        R_true = cam_R[1] @ cam_R[0].T
+        np.testing.assert_allclose(res.R, R_true, atol=2e-3)
+        assert res.rms < 1.0
