@@ -32,8 +32,10 @@ MIN_POINT_SIZE = 2.0     # splats_pass2.vs max(2.0, ...)
 def _look_at(points, elev_deg, azim_deg, fov_deg, width, height):
     """Orbit camera around the cloud centroid (PointsViewScene's
     rotx/roty/zoom orbit controls, pointsviewscene.cpp:150-210)."""
-    center = points.mean(axis=0)
-    radius = float(np.linalg.norm(points - center, axis=1).max()) + 1e-9
+    center = np.median(points, axis=0)
+    # robust extent: stray triangulation outliers must not shrink the view
+    radius = float(np.percentile(
+        np.linalg.norm(points - center, axis=1), 95)) * 1.2 + 1e-9
     el, az = np.deg2rad(elev_deg), np.deg2rad(azim_deg)
     view_dir = np.array([np.cos(el) * np.cos(az),
                          np.cos(el) * np.sin(az),
@@ -77,8 +79,10 @@ def splat_image(points, colors=None, normals=None, width: int = 800,
     pc = (points - eye) @ R.T                 # camera space
     z = pc[:, 2]
     if splat_radius is None:
-        # density heuristic: a few x mean inter-point spacing
-        bbox = points.max(axis=0) - points.min(axis=0)
+        # density heuristic: a few x mean inter-point spacing over a
+        # robust (percentile) bounding box
+        bbox = (np.percentile(points, 98, axis=0)
+                - np.percentile(points, 2, axis=0))
         diag = float(np.linalg.norm(bbox)) + 1e-9
         splat_radius = 2.0 * diag / np.sqrt(max(n, 1))
 

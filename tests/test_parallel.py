@@ -112,3 +112,27 @@ class TestShardedBA:
         for g, r in zip(got, ref):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=1e-10, atol=1e-8)
+
+
+class TestLauncher:
+    """Multi-host launch glue (parallel/launcher.py): single-process no-op
+    path + global mesh construction on the virtual 8-device backend."""
+
+    def test_single_process_noop(self, monkeypatch):
+        from stereoreconstruction_tpu.parallel import launcher
+        monkeypatch.delenv("JAX_COORDINATOR", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        monkeypatch.setattr(launcher, "_initialized", False)
+        assert launcher.initialize_distributed() is False
+        assert launcher.is_coordinator()
+
+    def test_global_mesh_axes(self):
+        from stereoreconstruction_tpu.parallel.launcher import global_mesh
+        n = len(jax.devices())
+        mesh = global_mesh(n_views=2)
+        assert mesh.axis_names == ("view", "row")
+        assert mesh.devices.size == n
+        assert mesh.devices.shape[0] == (2 if n % 2 == 0 else 1)
+        # all devices folded into rows when a single view pair is given
+        mesh1 = global_mesh(n_views=1)
+        assert mesh1.devices.shape == (1, n)
