@@ -169,7 +169,8 @@ def cmd_stereo(args):
                             image_scale=args.scale)
         res = compute_depth_maps(
             imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
-            cams[0], cams[1], cfg)
+            cams[0], cams[1], cfg, method=args.method,
+            use_mrf=args.mrf)
         depths = np.stack([np.asarray(res.depth_left),
                            np.asarray(res.depth_right)])
         style = "twoview"
@@ -380,7 +381,14 @@ def main(argv=None):
     sp.add_argument("--cross-check", type=float, default=5.0)
     sp.add_argument("--scale", type=float, default=0.5)
     sp.add_argument("--two-view", action="store_true")
-    sp.add_argument("--mrf", action="store_true")
+    sp.add_argument("--mrf", action="store_true",
+                    help="MRF optimization over the cost volume instead of "
+                         "WTA (two-view: min-sum BP over dense labels; "
+                         "MVS: TRW-S over the top-K hypothesis volume)")
+    sp.add_argument("--method", choices=("fast", "pallas", "exact"),
+                    default="fast",
+                    help="two-view cost-volume backend (see "
+                         "stereo.twoview.compute_depth_map_oneview)")
     sp.add_argument("--resume", action="store_true",
                     help="checkpoint each view's depth map under "
                          "<output>/checkpoint/ and skip views already "

@@ -135,15 +135,20 @@ def _cost_kernel(depths_ref, warped_hbm, wvalid_hbm, grayp_hbm, maskp_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "tile_h", "max_color_diff", "bad_ret"))
+    static_argnames=("radius", "tile_h", "max_color_diff", "bad_ret",
+                     "interpret"))
 def pallas_cost_wta(depths, warped_vol, wvalid_vol, gray_ref, left_valid,
                     weights, *, radius: int, tile_h: int = 32,
-                    max_color_diff: float = 120.0, bad_ret: float = 1000.0):
+                    max_color_diff: float = 120.0, bad_ret: float = 1000.0,
+                    interpret: bool = False):
     """Fused cost + WTA over the full depth sweep.
 
     depths [D]; warped_vol/wvalid_vol [D, H, W]; gray_ref [H, W];
     left_valid [H, W] (combined mask & sample validity for left taps);
     weights [S, S, H, W].  Returns (min_cost, second, best_depth) [H, W].
+
+    interpret: run under the TPU interpret mode (DMA-emulating) so the
+    kernel is testable on the CPU backend.
     """
     n_depths, h, w = warped_vol.shape
     size = 2 * radius + 1
@@ -179,15 +184,17 @@ def pallas_cost_wta(depths, warped_vol, wvalid_vol, gray_ref, left_valid,
     with jax.enable_x64(False):
         return _call(kernel, out_shape, n_tiles, n_depths, size, tile_h,
                      th, wh, w, f32, depths_f, warped_p, wvalid_p, gray_p,
-                     mask_p, weights_f)
+                     mask_p, weights_f, interpret)
 
 
 def _call(kernel, out_shape, n_tiles, n_depths, size, tile_h, th, wh, w,
-          f32, depths_f, warped_p, wvalid_p, gray_p, mask_p, weights_f):
+          f32, depths_f, warped_p, wvalid_p, gray_p, mask_p, weights_f,
+          interpret=False):
     min_c, second, best = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(n_tiles,),
+        interpret=(pltpu.InterpretParams() if interpret else False),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[

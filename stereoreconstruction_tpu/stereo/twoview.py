@@ -66,28 +66,14 @@ def _wta_scan(cost_fn, depths, init_shape, dtype):
     return min_cost, second, best
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "enable_refraction", "enable_distortion",
-                     "method", "use_mrf"))
-def compute_depth_map_oneview(
-        rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
-        cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
-        *, enable_refraction: bool = True, enable_distortion: bool = True,
-        method: str = "fast", use_mrf: bool = False):
-    """Depth map for one reference view against one other view.
+def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
+                   cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
+                   *, enable_refraction, enable_distortion, method):
+    """Shared per-view setup: returns ``(cost_at, depths, weights)`` where
+    ``cost_at(d_idx) -> (cost [H, W], depth_plane [H, W])``.
 
-    rgb_ref: [H, W, 3]; gray/masks: [H, W].  Cameras must be cast to the
-    working dtype already.  Returns depth [H, W] (NaN/inf sentinels).
-
-    method:
-      "fast"  — gather-free warp-first cost volume (MXU warp matmuls,
-                reference-space support windows; see ops/ncc_fast.py),
-      "pallas" — fast warp volume + the fused Pallas NCC/WTA kernel
-                (VMEM-resident weights across the whole depth sweep),
-      "exact" — other-space window taps bit-matching the reference's
-                cost_ncc semantics (gather-bound on TPU; used for parity).
-    """
+    Reused by the WTA scan, the MRF volume build, the Pallas warp loop and
+    the depth-sharded volume (parallel/sharding)."""
     from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
 
     dtype = gray_ref.dtype
@@ -112,32 +98,6 @@ def compute_depth_map_oneview(
     _, pr_dir = principal_ray(cam_ref)
     normal = pr_dir.astype(dtype)
     center = cam_ref.C.astype(dtype)
-
-    if method == "pallas" and cfg.cost != "sad":
-        from ..ops.pallas_ncc import pallas_cost_wta
-
-        def warp_at(_, d_idx):
-            depth = depths[d_idx]
-            pts, pvalid = point_from_depth(ray_o, ray_d, center, normal,
-                                           depth)
-            xy, mvalid = match_points(
-                cam_oth, pts, pvalid, cfg.image_scale,
-                enable_refraction=enable_refraction,
-                enable_distortion=enable_distortion)
-            return (), warp_other(gray_oth, mask_oth, xy[..., 0],
-                                  xy[..., 1], mvalid)
-
-        _, (warp_vol, wv_vol) = lax.scan(
-            warp_at, (), jnp.arange(cfg.num_depth_levels))
-        inb = jnp.ones((h, w), bool).at[-1, :].set(False).at[:, -1].set(
-            False)
-        min_cost, second, best = pallas_cost_wta(
-            depths, warp_vol, wv_vol, gray_ref, mask_ref & inb, weights,
-            radius=radius, max_color_diff=cfg.max_color_diff,
-            bad_ret=cfg.bad_ret)
-        best = jnp.where(min_cost > cfg.second_best_factor * second,
-                         jnp.inf, best)
-        return jnp.where(mask_ref, best, jnp.nan).astype(dtype)
 
     def cost_at(d_idx):
         depth = depths[d_idx]
@@ -165,6 +125,105 @@ def compute_depth_map_oneview(
                 ref_view, warped, wvalid,
                 max_color_diff=cfg.max_color_diff, bad_ret=cfg.bad_ret)
         return cost, jnp.full((h, w), depth, dtype)
+
+    return cost_at, depths, weights
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "enable_refraction", "enable_distortion",
+                     "method"))
+def twoview_cost_volume(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
+                        cam_ref: Camera, cam_oth: Camera,
+                        cfg: TwoViewConfig, *,
+                        enable_refraction: bool = True,
+                        enable_distortion: bool = True,
+                        method: str = "fast"):
+    """Materialize the dense two-view cost volume [D, H, W] (plus the depth
+    labels [D]) — the tensor the reference's USE_MRF path feeds to graph-cut
+    (twoviewstereo.cpp:335-403).  For WTA use compute_depth_map_oneview,
+    which streams planes through a scan instead."""
+    cost_at, depths, _ = _build_cost_fn(
+        rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth, cam_ref, cam_oth,
+        cfg, enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion, method=method)
+
+    def collect(_, d_idx):
+        cost, _ = cost_at(d_idx)
+        return (), cost
+
+    _, volume = lax.scan(collect, (), jnp.arange(cfg.num_depth_levels))
+    return volume, depths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "enable_refraction", "enable_distortion",
+                     "method", "use_mrf"))
+def compute_depth_map_oneview(
+        rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
+        cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
+        *, enable_refraction: bool = True, enable_distortion: bool = True,
+        method: str = "fast", use_mrf: bool = False):
+    """Depth map for one reference view against one other view.
+
+    rgb_ref: [H, W, 3]; gray/masks: [H, W].  Cameras must be cast to the
+    working dtype already.  Returns depth [H, W] (NaN/inf sentinels).
+
+    method:
+      "fast"  — gather-free warp-first cost volume (MXU warp matmuls,
+                reference-space support windows; see ops/ncc_fast.py),
+      "pallas" — fast warp volume + the fused Pallas NCC/WTA kernel
+                (VMEM-resident weights across the whole depth sweep),
+      "exact" — other-space window taps bit-matching the reference's
+                cost_ncc semantics (gather-bound on TPU; used for parity).
+    """
+    from ..ops.ncc_fast import warp_other
+
+    dtype = gray_ref.dtype
+    h, w = gray_ref.shape
+    radius = cfg.window_radius
+
+    cost_at, depths, weights = _build_cost_fn(
+        rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth, cam_ref, cam_oth,
+        cfg, enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion, method=method)
+
+    if method == "pallas" and cfg.cost != "sad":
+        ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
+                                  enable_refraction=enable_refraction,
+                                  enable_distortion=enable_distortion,
+                                  dtype=dtype)
+        _, pr_dir = principal_ray(cam_ref)
+        normal = pr_dir.astype(dtype)
+        center = cam_ref.C.astype(dtype)
+        from ..ops.pallas_ncc import pallas_cost_wta
+
+        def warp_at(_, d_idx):
+            depth = depths[d_idx]
+            pts, pvalid = point_from_depth(ray_o, ray_d, center, normal,
+                                           depth)
+            xy, mvalid = match_points(
+                cam_oth, pts, pvalid, cfg.image_scale,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion)
+            return (), warp_other(gray_oth, mask_oth, xy[..., 0],
+                                  xy[..., 1], mvalid)
+
+        _, (warp_vol, wv_vol) = lax.scan(
+            warp_at, (), jnp.arange(cfg.num_depth_levels))
+        inb = jnp.ones((h, w), bool).at[-1, :].set(False).at[:, -1].set(
+            False)
+        # On non-TPU backends (tests on the virtual CPU mesh) the kernel
+        # runs under the DMA-emulating TPU interpret mode.
+        min_cost, second, best = pallas_cost_wta(
+            depths, warp_vol, wv_vol, gray_ref, mask_ref & inb, weights,
+            radius=radius, max_color_diff=cfg.max_color_diff,
+            bad_ret=cfg.bad_ret,
+            interpret=jax.default_backend() != "tpu")
+        best = jnp.where(min_cost > cfg.second_best_factor * second,
+                         jnp.inf, best)
+        return jnp.where(mask_ref, best, jnp.nan).astype(dtype)
 
     if use_mrf:
         # Dense-label MRF over the cost volume (the reference's USE_MRF
@@ -278,6 +337,7 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
                        enable_refraction: bool = True,
                        enable_distortion: bool = True,
                        method: str = "fast",
+                       use_mrf: bool = False,
                        dtype=jnp.float32) -> TwoViewResult:
     """Full TwoViewStereo::computeDepthMaps flow (both views + cross-check).
 
@@ -285,6 +345,10 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     mask_*: [H, W] bool.  The two stages are separately jitted modules so
     the left and right views share one compiled executable and the
     persistent compilation cache can reuse each stage across entry points.
+
+    use_mrf: optimize each view's dense cost volume with min-sum BP under
+    the reference's truncated-linear smoothness instead of WTA (the
+    USE_MRF graph-cut path, twoviewstereo.cpp:335-403).
     """
     rgb_l = jnp.asarray(rgb_l, dtype)
     rgb_r = jnp.asarray(rgb_r, dtype)
@@ -305,12 +369,14 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
         depth_l = compute_depth_map_oneview(
             rgb_l, gray_l, mask_l, gray_r, mask_r, cam_l, cam_r, cfg,
             enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion, method=method)
+            enable_distortion=enable_distortion, method=method,
+            use_mrf=use_mrf)
     with trace("twoview/right"):
         depth_r = compute_depth_map_oneview(
             rgb_r, gray_r, mask_r, gray_l, mask_l, cam_r, cam_l, cfg,
             enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion, method=method)
+            enable_distortion=enable_distortion, method=method,
+            use_mrf=use_mrf)
 
     if cross_check:
         with trace("twoview/cross_check"):

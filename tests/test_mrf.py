@@ -94,6 +94,58 @@ class TestTwoViewBP:
         assert acc > 0.9, f"accuracy {acc}"
         assert trace[-1] <= trace[0]
 
+    def test_full_pipeline_mrf_lowers_reference_energy(self, rng):
+        """compute_depth_maps(use_mrf=True) is reachable end-to-end and the
+        BP labeling has lower reference energy (data + truncated-linear
+        smoothness, twoviewstereo.cpp:340-390) than WTA on the same cost
+        volume."""
+        import jax.numpy as jnp
+        from test_twoview import make_scene, CFG
+        from stereoreconstruction_tpu.stereo.twoview import (
+            compute_depth_maps, twoview_cost_volume)
+
+        rgb_l, mask_l, rgb_r, mask_r, cam_l, cam_r, _, _ = make_scene(rng)
+        # cross_check=False for the coverage assertion: with only 6 depth
+        # labels the MRF's label-quantized left/right maps disagree by more
+        # than INCONSISTENCY_THRESH=1 almost everywhere, as the reference's
+        # would; cross_check=True is exercised for reachability only.
+        res = compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r,
+                                 cam_l, cam_r, CFG, cross_check=False,
+                                 use_mrf=True)
+        d = np.asarray(res.depth_left)
+        assert np.isnan(d[~mask_l]).all()
+        assert np.isfinite(d[mask_l]).mean() > 0.5
+        compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l, cam_r,
+                           CFG, cross_check=True, use_mrf=True)
+
+        gray = lambda im: jnp.asarray(
+            0.11 * im[..., 0] + 0.59 * im[..., 1] + 0.3 * im[..., 2],
+            jnp.float32)
+        vol, _ = twoview_cost_volume(
+            jnp.asarray(rgb_l, jnp.float32), gray(rgb_l),
+            jnp.asarray(mask_l), gray(rgb_r), jnp.asarray(mask_r),
+            cam_l.astype(jnp.float32), cam_r.astype(jnp.float32), CFG)
+        vol = np.minimum(np.asarray(vol), 1e4)  # clamp inf like twoview_bp
+
+        def ref_energy(labels):
+            lab = labels.astype(np.float32)
+            e = np.take_along_axis(vol, labels[None], axis=0).sum()
+            sm = lambda a, b: CFG.smoothness_lambda * np.minimum(
+                np.abs(a - b) ** CFG.smoothness_exp, CFG.smoothness_max)
+            e += sm(lab[:, 1:], lab[:, :-1]).sum()
+            e += sm(lab[1:, :], lab[:-1, :]).sum()
+            return e
+
+        from stereoreconstruction_tpu.stereo.mrf import twoview_bp
+        bp_labels, _ = twoview_bp(
+            jnp.asarray(vol), smoothness_lambda=CFG.smoothness_lambda,
+            smoothness_max=CFG.smoothness_max,
+            smoothness_exp=CFG.smoothness_exp)
+        wta_labels = np.argmin(vol, axis=0)
+        e_bp = ref_energy(np.asarray(bp_labels))
+        e_wta = ref_energy(wta_labels)
+        assert e_bp <= e_wta + 1e-3, (e_bp, e_wta)
+
     def test_engine_mrf_path_runs(self, rng):
         import jax.numpy as jnp
         from test_twoview import make_scene, CFG
