@@ -199,10 +199,10 @@ def _call(kernel, out_shape, n_tiles, n_depths, size, tile_h, th, wh, w,
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # depths (full)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # warped (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # wvalid (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # gray_p (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # mask_p (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # warped (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # wvalid (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # gray_p (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # mask_p (HBM)
             pl.BlockSpec((size * size, tile_h, w), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),       # weights tile
         ],

@@ -1,0 +1,102 @@
+"""Production-path (fast / pallas) parity vs the exact path.
+
+The exact path is oracle-validated in test_twoview.py; these tests anchor
+the *benchmarked* paths to it on a photoconsistent rendered scene (the fast
+path is a different discretization — reference-space support windows over a
+warped plane vs other-space window taps, ops/ncc_fast.py:1-19 — so parity
+is statistical, not bitwise).  The Pallas kernel must reproduce the fast
+path's cost algebra exactly (same warp volume, same accumulators).
+
+VERDICT r1 items 1 and 5.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereoreconstruction_tpu.config import TwoViewConfig, WeightConfig
+from stereoreconstruction_tpu.stereo.twoview import compute_depth_maps
+
+from synth import converging_rig, render_scene
+
+
+CFG = TwoViewConfig(window_radius=2, min_depth=45.0, max_depth=80.0,
+                    num_depth_levels=24, image_scale=1.0,
+                    weights=WeightConfig(kind="geodesic"))
+
+
+def scene(refractive):
+    cams = converging_rig(2, refractive=refractive)
+    rgbs, masks, true_d = render_scene(cams, 64, 80, plane_dist=60.0,
+                                       enable_refraction=refractive)
+    return cams, rgbs, masks, true_d
+
+
+def run(cams, rgbs, masks, method, refractive):
+    res = compute_depth_maps(rgbs[0], masks[0], rgbs[1], masks[1],
+                             cams[0], cams[1], CFG, cross_check=False,
+                             method=method, dtype=jnp.float32,
+                             enable_refraction=refractive)
+    return np.asarray(res.depth_left), np.asarray(res.depth_right)
+
+
+class TestFastParity:
+    @pytest.mark.parametrize("refractive", [False, True])
+    def test_fast_matches_exact_and_truth(self, refractive):
+        cams, rgbs, masks, true_d = scene(refractive)
+        exact_l, _ = run(cams, rgbs, masks, "exact", refractive)
+        fast_l, _ = run(cams, rgbs, masks, "fast", refractive)
+
+        # both recover the ground-truth plane depth (quantization-limited)
+        for name, d in (("exact", exact_l), ("fast", fast_l)):
+            fin = np.isfinite(d)
+            assert fin.mean() > 0.9, f"{name} coverage {fin.mean()}"
+            med = np.median(np.abs(d - true_d[0])[fin])
+            assert med < 1.5, f"{name} median depth error {med}"
+
+        # fast vs exact: same WTA pick almost everywhere (identical depth
+        # label set, so agreeing picks match to fp rounding)
+        both = np.isfinite(exact_l) & np.isfinite(fast_l)
+        agree = np.mean(np.abs(fast_l[both] - exact_l[both]) < 0.01)
+        cov_delta = abs(np.isfinite(fast_l).mean()
+                        - np.isfinite(exact_l).mean())
+        rmse = float(np.sqrt(np.mean(
+            (fast_l[both] - exact_l[both]) ** 2)))
+        # measured on this fixture: pinhole agree=0.958 rmse=0.99
+        # cov_delta=0.009; refractive agree=0.804 rmse=2.62 cov_delta=0.036
+        min_agree, max_rmse, max_cov = ((0.90, 2.0, 0.03) if not refractive
+                                        else (0.70, 4.0, 0.07))
+        assert agree > min_agree, f"pick agreement {agree}"
+        assert rmse < max_rmse, f"rmse {rmse}"
+        assert cov_delta < max_cov, f"coverage delta {cov_delta}"
+
+    @pytest.mark.parametrize("refractive", [False, True])
+    def test_pallas_matches_fast_exactly(self, refractive):
+        """The Pallas kernel consumes the same warp volume as the fast path
+        and must reproduce its cost/WTA algebra bit-for-bit (both f32)."""
+        cams, rgbs, masks, _ = scene(refractive)
+        fast_l, fast_r = run(cams, rgbs, masks, "fast", refractive)
+        pal_l, pal_r = run(cams, rgbs, masks, "pallas", refractive)
+
+        for f, p in ((fast_l, pal_l), (fast_r, pal_r)):
+            same_class = ((np.isnan(f) == np.isnan(p))
+                          & (np.isinf(f) == np.isinf(p)))
+            assert same_class.mean() > 0.995, (
+                f"sentinel classes diverge: {same_class.mean()}")
+            both = np.isfinite(f) & np.isfinite(p)
+            assert both.any()
+            np.testing.assert_allclose(p[both], f[both], atol=1e-5)
+
+    def test_fast_cross_checked_pipeline(self):
+        """Full production pipeline (fast + cross-check) keeps usable
+        coverage and accuracy on the rendered scene."""
+        cams, rgbs, masks, true_d = scene(False)
+        res = compute_depth_maps(rgbs[0], masks[0], rgbs[1], masks[1],
+                                 cams[0], cams[1], CFG, cross_check=True,
+                                 method="fast", dtype=jnp.float32,
+                                 enable_refraction=False)
+        d = np.asarray(res.depth_left)
+        fin = np.isfinite(d)
+        assert fin.mean() > 0.5
+        med = np.median(np.abs(d - true_d[0])[fin])
+        assert med < 1.5, f"median depth error {med}"
