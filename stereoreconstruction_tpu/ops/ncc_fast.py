@@ -39,12 +39,16 @@ class RefView(NamedTuple):
     radius: int
 
 
-def make_ref_view(gray_ref, mask_ref, weights, radius: int) -> RefView:
+def make_ref_view(gray_ref, mask_ref, weights, radius: int,
+                  inb=None) -> RefView:
+    """``inb`` overrides the in-image sample-validity plane (row-sharded
+    blocks pass one derived from *global* row indices)."""
     gray_pad = jnp.pad(gray_ref, radius)
     mask_pad = jnp.pad(mask_ref, radius, constant_values=False)
-    inb = jnp.ones(gray_ref.shape, bool)
-    # sample() validity excludes the last row/column (x+1 < w)
-    inb = inb.at[-1, :].set(False).at[:, -1].set(False)
+    if inb is None:
+        inb = jnp.ones(gray_ref.shape, bool)
+        # sample() validity excludes the last row/column (x+1 < w)
+        inb = inb.at[-1, :].set(False).at[:, -1].set(False)
     inb_pad = jnp.pad(inb, radius, constant_values=False)
     return RefView(gray_pad=gray_pad, mask_pad=mask_pad, inb_pad=inb_pad,
                    weights=weights, radius=radius)

@@ -45,14 +45,20 @@ def _window_colors(rgb, radius):
     return jnp.stack(chans, axis=-1), valid
 
 
-def _neighbor_dist_map(rgb, dx, dy):
+def _neighbor_dist_map(rgb, dx, dy, pixel_valid=None):
     """Image-level color distance to the (dx, dy) neighbor: ``[H, W]`` with
     _BREAK where the neighbor (or the pixel itself, after windowing) is OOB.
+
+    ``pixel_valid`` overrides the in-image validity (row-sharded blocks pass
+    the *global* in-image plane so pad rows break chains exactly like true
+    image borders).
     """
     h, w = rgb.shape[:2]
     big = jnp.asarray(_BREAK, rgb.dtype)
     pad = jnp.pad(rgb, ((1, 1), (1, 1), (0, 0)))
-    vpad = jnp.pad(jnp.ones((h, w), bool), 1, constant_values=False)
+    if pixel_valid is None:
+        pixel_valid = jnp.ones((h, w), bool)
+    vpad = jnp.pad(pixel_valid, 1, constant_values=False)
     nb = pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
     nv = vpad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
     delta = nb - rgb
@@ -61,10 +67,14 @@ def _neighbor_dist_map(rgb, dx, dy):
 
 
 def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3,
-                     exact: bool = True):
+                     exact: bool = True, pixel_valid=None):
     """Geodesic support weights for every pixel window simultaneously.
 
     rgb: [H, W, 3] in 0..255.  Returns ``[S, S, H, W]`` weights in [0, 1].
+
+    ``pixel_valid`` ([H, W] bool) overrides the in-image validity plane —
+    the row-sharded engine passes the global one so pad rows of a block
+    behave exactly like image borders.
 
     ``exact=False`` clamps distances at 4096 (weights below exp(-80) are
     identically zero anyway) so the min-plus chain runs in f32 — ~1e-4
@@ -89,11 +99,15 @@ def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3,
     # (dx,dy) neighbor, _BREAK when either is off-image or off-window.
     dirs = ((-1, -1), (0, -1), (1, -1), (-1, 0),
             (-1, 1), (0, 1), (1, 1), (1, 0))
-    wd = {d: window_patches(_neighbor_dist_map(rgb, *d), radius, fill=_BREAK)
-          for d in dirs}
+    wd = {d: window_patches(
+        _neighbor_dist_map(rgb, *d, pixel_valid=pixel_valid), radius,
+        fill=_BREAK) for d in dirs}
 
     # Window-pixel (center) validity per position: [S, S, H, W].
-    _, valid = shifted_windows(rgb[..., 0], radius)
+    if pixel_valid is None:
+        _, valid = shifted_windows(rgb[..., 0], radius)
+    else:
+        valid, _ = shifted_windows(pixel_valid, radius)
 
     clamp = 4096.0
     brk = 2.0 * clamp
@@ -165,13 +179,16 @@ def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3,
     return jnp.exp(-jnp.minimum(stacked, _BIG) / sigma)
 
 
-def adaptive_weights(rgb, radius: int, color_sigma: float = 10.0):
+def adaptive_weights(rgb, radius: int, color_sigma: float = 10.0,
+                     pixel_valid=None):
     """Adaptive support weights (adaptiveweight.cpp:33-79).
 
     weight(r, c) = e^{-|r|/R} e^{-|c|/R} e^{-||rgb - center_rgb|| / sigma},
     zero for invalid (OOB) window pixels.  Returns ``[S, S, H, W]``.
     """
     win, valid = _window_colors(rgb, radius)
+    if pixel_valid is not None:
+        valid, _ = shifted_windows(pixel_valid, radius)
     win = jnp.where(valid[..., None], win, 0.0)
     center = rgb[None, None]
     delta = win - center
@@ -184,21 +201,27 @@ def adaptive_weights(rgb, radius: int, color_sigma: float = 10.0):
     return jnp.where(valid, w, 0.0)
 
 
-def uniform_weights(rgb, radius: int):
+def uniform_weights(rgb, radius: int, pixel_valid=None):
     """All-ones weights over valid window pixels (for plain NCC/SAD)."""
     size = 2 * radius + 1
-    _, valid = shifted_windows(rgb[..., 0], radius)
+    if pixel_valid is None:
+        _, valid = shifted_windows(rgb[..., 0], radius)
+    else:
+        valid, _ = shifted_windows(pixel_valid, radius)
     return jnp.where(valid, jnp.ones((size, size) + rgb.shape[:2],
                                      rgb.dtype), 0.0)
 
 
-def compute_weights(rgb, radius: int, cfg, exact: bool = True) -> jnp.ndarray:
+def compute_weights(rgb, radius: int, cfg, exact: bool = True,
+                    pixel_valid=None) -> jnp.ndarray:
     """Dispatch on WeightConfig.kind."""
     if cfg.kind == "geodesic":
         return geodesic_weights(rgb, radius, cfg.geodesic_sigma,
-                                cfg.geodesic_iters, exact=exact)
+                                cfg.geodesic_iters, exact=exact,
+                                pixel_valid=pixel_valid)
     if cfg.kind == "adaptive":
-        return adaptive_weights(rgb, radius, cfg.color_sigma)
+        return adaptive_weights(rgb, radius, cfg.color_sigma,
+                                pixel_valid=pixel_valid)
     if cfg.kind == "uniform":
-        return uniform_weights(rgb, radius)
+        return uniform_weights(rgb, radius, pixel_valid=pixel_valid)
     raise ValueError(f"unknown weight kind {cfg.kind!r}")

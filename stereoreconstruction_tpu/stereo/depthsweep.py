@@ -46,12 +46,16 @@ def depth_labels_uniform(min_depth, max_depth, num_levels: int,
 
 def pixel_rays(cam: Camera, height: int, width: int, image_scale: float,
                *, enable_refraction=True, enable_distortion=True,
-               dtype=jnp.float32):
+               dtype=jnp.float32, row0=0):
     """Unprojected rays for every pixel center of the scaled image.
 
     Returns (origins [H, W, 3], directions [H, W, 3]) in world coords.
+
+    ``row0`` offsets the pixel rows (may be traced) — used by the
+    row-sharded engine where each device owns a block of global rows.
     """
-    ys = (jnp.arange(height, dtype=dtype) + 0.5) / image_scale
+    ys = (jnp.asarray(row0).astype(dtype)
+          + jnp.arange(height, dtype=dtype) + 0.5) / image_scale
     xs = (jnp.arange(width, dtype=dtype) + 0.5) / image_scale
     xg, yg = jnp.meshgrid(xs, ys)                   # [H, W]
     xy = jnp.stack([xg, yg], axis=-1)

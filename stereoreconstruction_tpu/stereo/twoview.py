@@ -68,30 +68,56 @@ def _wta_scan(cost_fn, depths, init_shape, dtype):
 
 def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
                    cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
-                   *, enable_refraction, enable_distortion, method):
+                   *, enable_refraction, enable_distortion, method,
+                   row0=0, full_h=None):
     """Shared per-view setup: returns ``(cost_at, depths, weights)`` where
     ``cost_at(d_idx) -> (cost [H, W], depth_plane [H, W])``.
 
     Reused by the WTA scan, the MRF volume build, the Pallas warp loop and
-    the depth-sharded volume (parallel/sharding)."""
+    the row/depth-sharded engines (parallel/).
+
+    row0/full_h: when the reference view is a *block* of global rows
+    [row0, row0 + H) out of a full_h-row image (row-sharded path), rays,
+    weights and sample-validity are computed against global coordinates so
+    block results equal the unsharded ones; pad rows (outside [0, full_h))
+    behave exactly like image borders.  row0 may be traced; requires
+    method="fast" (blocks of the exact path are not supported).
+    """
     from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
 
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
     radius = cfg.window_radius
 
+    if full_h is None:
+        pixel_valid = None
+        inb = None
+    else:
+        if method != "fast" or cfg.cost == "sad":
+            raise NotImplementedError(
+                "row-sharded blocks support method='fast' NCC only")
+        rows_g = row0 + jnp.arange(h)
+        in_rows = (rows_g >= 0) & (rows_g < full_h)
+        pixel_valid = jnp.broadcast_to(in_rows[:, None], (h, w))
+        # sample() validity excludes the global last row/column
+        inb = (pixel_valid & (rows_g < full_h - 1)[:, None]
+               & (jnp.arange(w) < w - 1)[None, :])
+        mask_ref = mask_ref & pixel_valid
+
     weights = compute_weights(rgb_ref, radius, cfg.weights,
-                              exact=(method == "exact")).astype(dtype)
+                              exact=(method == "exact"),
+                              pixel_valid=pixel_valid).astype(dtype)
     if method == "exact" or cfg.cost == "sad":
         left_vals, left_valid, left_mask = _left_windows(
             gray_ref, mask_ref, radius, use_sample=True)
     else:
-        ref_view = make_ref_view(gray_ref, mask_ref, weights, radius)
+        ref_view = make_ref_view(gray_ref, mask_ref, weights, radius,
+                                 inb=inb)
 
     ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
                               enable_refraction=enable_refraction,
                               enable_distortion=enable_distortion,
-                              dtype=dtype)
+                              dtype=dtype, row0=row0)
     depths = depth_labels_twoview(cfg.min_depth, cfg.max_depth,
                                   cfg.num_depth_levels, dtype=dtype)
 
@@ -159,12 +185,13 @@ def twoview_cost_volume(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "enable_refraction", "enable_distortion",
-                     "method", "use_mrf"))
+                     "method", "use_mrf", "full_h"))
 def compute_depth_map_oneview(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
         cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
         *, enable_refraction: bool = True, enable_distortion: bool = True,
-        method: str = "fast", use_mrf: bool = False):
+        method: str = "fast", use_mrf: bool = False,
+        row0=0, full_h: Optional[int] = None):
     """Depth map for one reference view against one other view.
 
     rgb_ref: [H, W, 3]; gray/masks: [H, W].  Cameras must be cast to the
@@ -177,6 +204,10 @@ def compute_depth_map_oneview(
                 (VMEM-resident weights across the whole depth sweep),
       "exact" — other-space window taps bit-matching the reference's
                 cost_ncc semantics (gather-bound on TPU; used for parity).
+
+    row0/full_h: the reference view is a block of global rows
+    [row0, row0 + H) of a full_h-row image (row-sharded path, see
+    parallel/rowshard.py); requires method="fast" and no MRF.
     """
     from ..ops.ncc_fast import warp_other
 
@@ -184,10 +215,18 @@ def compute_depth_map_oneview(
     h, w = gray_ref.shape
     radius = cfg.window_radius
 
+    if full_h is not None and (use_mrf or method != "fast"):
+        raise NotImplementedError(
+            "row blocks support the fast WTA path only")
+
     cost_at, depths, weights = _build_cost_fn(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth, cam_ref, cam_oth,
         cfg, enable_refraction=enable_refraction,
-        enable_distortion=enable_distortion, method=method)
+        enable_distortion=enable_distortion, method=method,
+        row0=row0, full_h=full_h)
+    if full_h is not None:
+        rows_g = row0 + jnp.arange(h)
+        mask_ref = mask_ref & ((rows_g >= 0) & (rows_g < full_h))[:, None]
 
     if method == "pallas" and cfg.cost != "sad":
         ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
@@ -255,7 +294,8 @@ def compute_depth_map_oneview(
 
 def cross_check_direction(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
                           image_scale, inconsistency_thresh, *,
-                          enable_refraction=True, enable_distortion=True):
+                          enable_refraction=True, enable_distortion=True,
+                          row0=0):
     """One direction of the symmetric cross-check
     (``TwoViewStereo::crossCheck`` twoviewstereo.cpp:596-672).
 
@@ -263,6 +303,9 @@ def cross_check_direction(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
     the point reconstructed from ``depth_b`` at the reprojected pixel by more
     than ``inconsistency_thresh``.  Pixels whose own plane intersection fails
     are left untouched (reference keeps them).
+
+    ``row0``: global row of depth_a's first row when depth_a is a row block
+    (depth_b is always the full other map).
     """
     dtype = depth_a.dtype
     h, w = depth_a.shape
@@ -271,7 +314,7 @@ def cross_check_direction(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
     ray_o, ray_d = pixel_rays(cam_a, h, w, image_scale,
                               enable_refraction=enable_refraction,
                               enable_distortion=enable_distortion,
-                              dtype=dtype)
+                              dtype=dtype, row0=row0)
     _, na = principal_ray(cam_a)
     na = na.astype(dtype)
     ca = cam_a.C.astype(dtype)
