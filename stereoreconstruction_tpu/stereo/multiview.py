@@ -60,23 +60,14 @@ def select_neighbours(cams: Sequence[Camera],
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_neighbours", "enable_refraction",
-                     "enable_distortion", "with_topk", "method"))
-def mvs_initial_estimate_oneview(
-        rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
-        cam_ref: Camera, cams_nbr: Camera, cfg: MultiViewConfig,
-        n_neighbours: int, *, enable_refraction=True,
-        enable_distortion=True, with_topk=False, method: str = "fast"):
-    """Initial depth hypothesis for one view against its stacked neighbours.
-
-    grays_nbr/masks_nbr: [N, H, W]; cams_nbr: Camera pytree with leading
-    axis N.  Returns depth [H, W] (WTA over peaks; -1 when no peak; INF
-    start value outside peaks per multiviewstereo.cpp:559) and, when
-    ``with_topk``, the (ncc, depth) top-K hypothesis volume
-    ``[K, H, W] x 2`` sorted ascending (peaks padded with (0, -1)).
-    """
+def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
+                       cam_ref: Camera, cams_nbr: Camera,
+                       cfg: MultiViewConfig, *, enable_refraction,
+                       enable_distortion, method):
+    """Per-view setup shared by the unsharded scan and the depth-sharded
+    slab sweep (parallel/depthshard.py): returns ``(plane_cost, depths)``
+    with ``plane_cost(d_idx) -> ncc [N, H, W]`` at global depth label
+    ``d_idx``."""
     from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
 
     dtype = gray_ref.dtype
@@ -130,37 +121,54 @@ def mvs_initial_estimate_oneview(
 
         return jax.vmap(one_nbr)(grays_nbr, masks_nbr, cams_nbr)
 
+    return plane_cost, depths
+
+
+def mvs_wta_slab(plane_cost, depths, cfg, shape, dtype, *,
+                 label0=0, n_labels=None):
+    """Sequential WTA carry over depth labels [label0, label0 + n_labels)
+    (multiviewstereo.cpp:574-602 semantics: peak iff NCC > threshold,
+    ties -> larger depth).  Returns the raw carry (best_ncc, best_depth)
+    for cross-slab merging."""
+    h, w = shape
     thr = cfg.ncc_threshold
+    if n_labels is None:
+        n_labels = cfg.num_depth_levels
 
-    if not with_topk:
-        # WTA over peaks: max NCC among samples > thr; ties -> larger depth.
-        def body(carry, d_idx):
-            best_ncc, best_depth = carry
-            ncc = plane_cost(d_idx)                      # [N, H, W]
-            depth = depths[d_idx]
-            ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
-            ncc_max = jnp.max(ncc, axis=0)               # over neighbours
-            # >= : equal cost at a later (larger) depth wins, matching
-            # peaks.back() after a stable sort by (cost, depth).
-            better = ncc_max >= best_ncc
-            best_depth = jnp.where(better, depth, best_depth)
-            best_ncc = jnp.where(better, ncc_max, best_ncc)
-            return (best_ncc, best_depth), ()
+    def body(carry, t):
+        best_ncc, best_depth = carry
+        d_idx = label0 + t
+        ncc = plane_cost(d_idx)                      # [N, H, W]
+        depth = depths[d_idx]
+        ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
+        ncc_max = jnp.max(ncc, axis=0)               # over neighbours
+        # >= : equal cost at a later (larger) depth wins, matching
+        # peaks.back() after a stable sort by (cost, depth).
+        better = ncc_max >= best_ncc
+        best_depth = jnp.where(better, depth, best_depth)
+        best_ncc = jnp.where(better, ncc_max, best_ncc)
+        return (best_ncc, best_depth), ()
 
-        init = (jnp.full((h, w), -jnp.inf, dtype),
-                jnp.full((h, w), -1.0, dtype))
-        (best_ncc, best_depth), _ = lax.scan(
-            body, init, jnp.arange(cfg.num_depth_levels))
-        depth_map = jnp.where(jnp.isfinite(best_ncc), best_depth, -1.0)
-        # masked pixels keep the INF initialization (mvs cpp:559-566)
-        depth_map = jnp.where(mask_ref, depth_map, jnp.inf)
-        return depth_map
+    init = (jnp.full((h, w), -jnp.inf, dtype),
+            jnp.full((h, w), -1.0, dtype))
+    (best_ncc, best_depth), _ = lax.scan(body, init, jnp.arange(n_labels))
+    return best_ncc, best_depth
 
-    # Top-K hypothesis volume for the MRF path.
+
+def mvs_topk_slab(plane_cost, depths, cfg, shape, dtype, *,
+                  label0=0, n_labels=None):
+    """Top-K (ncc, depth) peaks over depth labels [label0, label0 +
+    n_labels), ascending by (ncc, depth) — the hypothesis volume of
+    multiviewstereo.cpp:574-602.  Raw (-inf padded) for slab merging."""
+    h, w = shape
     K = cfg.top_k
+    thr = cfg.ncc_threshold
+    if n_labels is None:
+        n_labels = cfg.num_depth_levels
 
-    def body(carry, d_idx):
+    def body(carry, t):
         top_ncc, top_depth = carry                       # [K, H, W]
+        d_idx = label0 + t
         ncc = plane_cost(d_idx)                          # [N, H, W]
         depth = depths[d_idx]
         ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
@@ -168,7 +176,11 @@ def mvs_initial_estimate_oneview(
         # NOTE: multiple neighbours can each contribute a peak at the same
         # depth; we keep the best per depth label (the hypothesis set is a
         # depth set, duplicates carry no extra information for the MRF).
-        cand_d = jnp.full((h, w), depth, dtype)
+        # Non-peak candidates carry the reference's (0, -1) no-peak default
+        # (multiviewstereo.cpp:600-607), never a real depth — this also
+        # makes dead slots slab-order independent for the sharded sweep.
+        cand_d = jnp.where(jnp.isfinite(cand_n),
+                           jnp.full((h, w), depth, dtype), -1.0)
         # insert (cand_n, cand_d) into the ascending top-K
         stack_n = jnp.concatenate([top_ncc, cand_n[None]], axis=0)
         stack_d = jnp.concatenate([top_depth, cand_d[None]], axis=0)
@@ -179,8 +191,50 @@ def mvs_initial_estimate_oneview(
 
     init = (jnp.full((K, h, w), -jnp.inf, dtype),
             jnp.full((K, h, w), -1.0, dtype))
-    (top_ncc, top_depth), _ = lax.scan(
-        body, init, jnp.arange(cfg.num_depth_levels))
+    (top_ncc, top_depth), _ = lax.scan(body, init, jnp.arange(n_labels))
+    return top_ncc, top_depth
+
+
+def mvs_finalize_wta(best_ncc, best_depth, mask_ref):
+    """WTA carry -> depth map with the reference's sentinels
+    (multiviewstereo.cpp:559-566, 654-661)."""
+    depth_map = jnp.where(jnp.isfinite(best_ncc), best_depth, -1.0)
+    # masked pixels keep the INF initialization (mvs cpp:559-566)
+    return jnp.where(mask_ref, depth_map, jnp.inf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_neighbours", "enable_refraction",
+                     "enable_distortion", "with_topk", "method"))
+def mvs_initial_estimate_oneview(
+        rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
+        cam_ref: Camera, cams_nbr: Camera, cfg: MultiViewConfig,
+        n_neighbours: int, *, enable_refraction=True,
+        enable_distortion=True, with_topk=False, method: str = "fast"):
+    """Initial depth hypothesis for one view against its stacked neighbours.
+
+    grays_nbr/masks_nbr: [N, H, W]; cams_nbr: Camera pytree with leading
+    axis N.  Returns depth [H, W] (WTA over peaks; -1 when no peak; INF
+    start value outside peaks per multiviewstereo.cpp:559) and, when
+    ``with_topk``, the (ncc, depth) top-K hypothesis volume
+    ``[K, H, W] x 2`` sorted ascending (peaks padded with (0, -1)).
+    """
+    dtype = gray_ref.dtype
+    h, w = gray_ref.shape
+
+    plane_cost, depths = _build_mvs_cost_fn(
+        rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
+        cams_nbr, cfg, enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion, method=method)
+
+    if not with_topk:
+        best_ncc, best_depth = mvs_wta_slab(plane_cost, depths, cfg,
+                                            (h, w), dtype)
+        return mvs_finalize_wta(best_ncc, best_depth, mask_ref)
+
+    top_ncc, top_depth = mvs_topk_slab(plane_cost, depths, cfg, (h, w),
+                                       dtype)
     top_ncc = jnp.where(jnp.isfinite(top_ncc), top_ncc, 0.0)
     return top_ncc, top_depth
 

@@ -1,0 +1,66 @@
+"""Depth-slab sharded MVS == unsharded MVS (bit-level), incl. the top-K
+hypothesis merge collective (parallel/collectives.merge_topk) — the
+distribution of the reference's whole-volume sweep
+(multiviewstereo.cpp:574-602).  Runs on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereoreconstruction_tpu.config import MultiViewConfig, WeightConfig
+from stereoreconstruction_tpu.parallel.depthshard import (
+    make_depth_mesh, mvs_initial_estimate_depthsharded)
+from stereoreconstruction_tpu.stereo.multiview import (
+    mvs_initial_estimate_oneview)
+
+from synth import converging_rig, render_scene
+
+
+CFG = MultiViewConfig(window_radius=2, min_depth=45.0, max_depth=80.0,
+                      num_depth_levels=24, image_scale=1.0,
+                      weights=WeightConfig(kind="geodesic"))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cams = converging_rig(3)
+    rgbs, masks, _ = render_scene(cams, 48, 64, plane_dist=60.0,
+                                  enable_refraction=False)
+    masks[0, 8:12, 20:28] = False
+    grays = (0.11 * rgbs[..., 0] + 0.59 * rgbs[..., 1]
+             + 0.3 * rgbs[..., 2]).astype(np.float32)
+    cams32 = [c.astype(jnp.float32) for c in cams]
+    cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs), *cams32[1:])
+    args = (jnp.asarray(rgbs[0], jnp.float32), jnp.asarray(grays[0]),
+            jnp.asarray(masks[0]), jnp.asarray(grays[1:]),
+            jnp.asarray(masks[1:]), cams32[0], cams_nbr)
+    return args
+
+
+@pytest.mark.parametrize("n_dep", [4, 8])
+class TestDepthSharded:
+    def test_wta_matches_unsharded(self, scene, n_dep):
+        if len(jax.devices()) < n_dep:
+            pytest.skip("needs virtual devices")
+        mesh = make_depth_mesh(n_dep)
+        want = np.asarray(mvs_initial_estimate_oneview(
+            *scene, CFG, 2, enable_refraction=False))
+        got = np.asarray(mvs_initial_estimate_depthsharded(
+            mesh, *scene, CFG, enable_refraction=False))
+        same = ((np.isinf(got) & np.isinf(want))
+                | (np.isfinite(got) & np.isfinite(want) & (got == want)))
+        assert same.mean() == 1.0, f"{1 - same.mean():.4f} differ"
+
+    def test_topk_matches_unsharded(self, scene, n_dep):
+        if len(jax.devices()) < n_dep:
+            pytest.skip("needs virtual devices")
+        mesh = make_depth_mesh(n_dep)
+        want_n, want_d = mvs_initial_estimate_oneview(
+            *scene, CFG, 2, enable_refraction=False, with_topk=True)
+        got_n, got_d = mvs_initial_estimate_depthsharded(
+            mesh, *scene, CFG, enable_refraction=False, with_topk=True)
+        np.testing.assert_array_equal(np.asarray(got_n),
+                                      np.asarray(want_n))
+        np.testing.assert_array_equal(np.asarray(got_d),
+                                      np.asarray(want_d))
