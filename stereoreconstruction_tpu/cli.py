@@ -326,6 +326,106 @@ def cmd_pmvs(args):
     return 0
 
 
+def cmd_edit(args):
+    """Headless project editing: the GUI's project-tree CRUD
+    (MainWindow, gui/mainwindow.cpp:1221-1408 — add/remove/rename cameras
+    and image sets) and the camera parameter editors (CameraInfoWidget;
+    StereoWidget's live refractive-interface spinners,
+    gui/widgets/stereowidget.cpp:472-549).  Removing a camera or image set
+    also drops its features/correspondences, like the reference's Project
+    registry teardown."""
+    from .data.project_io import (save_project, CameraRecord,
+                                  ImageSetRecord, ImageRecord)
+    proj = _load(args.project)
+
+    def camera(cid):
+        if cid not in proj.cameras:
+            print(f"no camera {cid!r}", file=sys.stderr)
+            raise SystemExit(1)
+        return proj.cameras[cid]
+
+    def floats(s, n, what):
+        v = [float(x) for x in s.split(",")]
+        if len(v) != n:
+            print(f"{what} needs {n} comma-separated values, got {len(v)}",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        return v
+
+    for cid in args.add_camera or []:
+        if cid in proj.cameras:
+            print(f"camera {cid!r} exists", file=sys.stderr)
+            return 1
+        P = np.zeros((3, 4))
+        P[:, :3] = np.eye(3)
+        proj.cameras[cid] = CameraRecord(id=cid, name=cid, P=P,
+                                         dist=np.zeros(5))
+    for sid in args.add_set or []:
+        if sid in proj.image_sets:
+            print(f"image set {sid!r} exists", file=sys.stderr)
+            return 1
+        proj.image_sets[sid] = ImageSetRecord(
+            id=sid, name=sid,
+            root=os.path.dirname(os.path.abspath(args.project)))
+    for sid, cid, path in args.add_image or []:
+        iset = proj.image_sets.get(sid)
+        if iset is None:
+            print(f"no image set {sid!r}", file=sys.stderr)
+            return 1
+        camera(cid)
+        iset.images.append(ImageRecord(
+            file=os.path.abspath(path), camera_id=cid,
+            is_default=iset.default_image_for_camera(cid) is None))
+
+    for cid, px, py, dist, ratio in args.set_interface or []:
+        rec = camera(cid)
+        rec.refr_px, rec.refr_py = float(px), float(py)
+        rec.refr_dist, rec.refr_index = float(dist), float(ratio)
+    for cid in args.clear_interface or []:
+        rec = camera(cid)
+        rec.refr_px = rec.refr_py = rec.refr_dist = 0.0
+        rec.refr_index = 1.0
+    for cid, vals in args.set_distortion or []:
+        camera(cid).dist = np.asarray(floats(vals, 5, "--set-distortion"))
+    for cid, vals in args.set_p or []:
+        camera(cid).P = np.asarray(
+            floats(vals, 12, "--set-p")).reshape(3, 4)
+    for cid, name in args.rename_camera or []:
+        camera(cid).name = name
+    for sid, name in args.rename_set or []:
+        if sid not in proj.image_sets:
+            print(f"no image set {sid!r}", file=sys.stderr)
+            return 1
+        proj.image_sets[sid].name = name
+
+    for cid in args.remove_camera or []:
+        camera(cid)
+        del proj.cameras[cid]
+        for iset in proj.image_sets.values():
+            iset.images = [im for im in iset.images
+                           if im.camera_id != cid]
+        proj.features = {k: v for k, v in proj.features.items()
+                         if k[1] != cid}
+        proj.correspondences = {
+            k: v for k, v in proj.correspondences.items()
+            if cid not in (k[1], k[3])}
+    for sid in args.remove_set or []:
+        if sid not in proj.image_sets:
+            print(f"no image set {sid!r}", file=sys.stderr)
+            return 1
+        del proj.image_sets[sid]
+        proj.features = {k: v for k, v in proj.features.items()
+                         if k[0] != sid}
+        proj.correspondences = {
+            k: v for k, v in proj.correspondences.items()
+            if sid not in (k[0], k[2])}
+
+    save_project(proj, args.output or args.project)
+    print(f"saved {args.output or args.project}: "
+          f"{len(proj.cameras)} cameras, {len(proj.image_sets)} sets")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="stereoreconstruction_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -398,6 +498,35 @@ def main(argv=None):
     sp = sub.add_parser("hdr")
     common(sp)
     sp.set_defaults(fn=cmd_hdr)
+
+    sp = sub.add_parser(
+        "edit", help="project CRUD + camera parameter edits (headless "
+                     "CameraInfoWidget / StereoWidget spinners / "
+                     "project-tree actions)")
+    sp.add_argument("project")
+    sp.add_argument("-o", "--output")
+    sp.add_argument("--set-interface", nargs=5, action="append",
+                    metavar=("CAM", "PX", "PY", "DIST", "RATIO"),
+                    help="set a camera's refractive interface (the "
+                         "StereoWidget spinners)")
+    sp.add_argument("--clear-interface", action="append", metavar="CAM")
+    sp.add_argument("--set-distortion", nargs=2, action="append",
+                    metavar=("CAM", "K1,K2,P1,P2,K3"))
+    sp.add_argument("--set-p", nargs=2, action="append",
+                    metavar=("CAM", "M11,...,M34"),
+                    help="set the 3x4 projection matrix (row-major, 12 "
+                         "comma-separated values)")
+    sp.add_argument("--rename-camera", nargs=2, action="append",
+                    metavar=("CAM", "NAME"))
+    sp.add_argument("--rename-set", nargs=2, action="append",
+                    metavar=("SET", "NAME"))
+    sp.add_argument("--add-camera", action="append", metavar="ID")
+    sp.add_argument("--remove-camera", action="append", metavar="ID")
+    sp.add_argument("--add-set", action="append", metavar="ID")
+    sp.add_argument("--remove-set", action="append", metavar="ID")
+    sp.add_argument("--add-image", nargs=3, action="append",
+                    metavar=("SET", "CAM", "FILE"))
+    sp.set_defaults(fn=cmd_edit)
 
     sp = sub.add_parser("layout")
     common(sp)

@@ -152,12 +152,21 @@ def _get(el, name, default=None):
     return default if v is None else v
 
 
-def load_project(path: str) -> ProjectData:
-    """Parse project.xml (project.cpp:74-327)."""
+def load_project(path: str, validate: bool = True) -> ProjectData:
+    """Parse project.xml (project.cpp:74-327).
+
+    ``validate`` checks the file against the structural equivalent of the
+    reference's XSD contract first (project/project.cpp:80-91 validates
+    against project/project.xsd before parsing) and raises
+    :class:`~stereoreconstruction_tpu.data.schema.ProjectValidationError`
+    on malformed input."""
     tree = ET.parse(path)
     root = tree.getroot()
     if root.tag != "project":
         raise ValueError(f"not a project file: root element <{root.tag}>")
+    if validate:
+        from .schema import validate_project_xml
+        validate_project_xml(root)
 
     proj = ProjectData(path=os.path.abspath(path))
     proj_dir = os.path.dirname(proj.path)
