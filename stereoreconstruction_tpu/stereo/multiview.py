@@ -63,11 +63,16 @@ def select_neighbours(cams: Sequence[Camera],
 def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
                        cam_ref: Camera, cams_nbr: Camera,
                        cfg: MultiViewConfig, *, enable_refraction,
-                       enable_distortion, method):
+                       enable_distortion, method, nbr_valid=None):
     """Per-view setup shared by the unsharded scan and the depth-sharded
     slab sweep (parallel/depthshard.py): returns ``(plane_cost, depths)``
     with ``plane_cost(d_idx) -> ncc [N, H, W]`` at global depth label
-    ``d_idx``."""
+    ``d_idx``.
+
+    ``nbr_valid`` ([N] bool) masks padding entries of the stacked
+    neighbour arrays to -inf so every view of a rig can share one compiled
+    shape (neighbour counts vary per view, multiviewstereo.cpp:335-360).
+    """
     from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
 
     dtype = gray_ref.dtype
@@ -119,7 +124,10 @@ def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
             return fast_cost_plane(ref_view, warped, wvalid,
                                    mvs_mode=True, use_masks=False)
 
-        return jax.vmap(one_nbr)(grays_nbr, masks_nbr, cams_nbr)
+        ncc = jax.vmap(one_nbr)(grays_nbr, masks_nbr, cams_nbr)
+        if nbr_valid is not None:
+            ncc = jnp.where(nbr_valid[:, None, None], ncc, -jnp.inf)
+        return ncc
 
     return plane_cost, depths
 
@@ -211,7 +219,8 @@ def mvs_initial_estimate_oneview(
         rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
         cam_ref: Camera, cams_nbr: Camera, cfg: MultiViewConfig,
         n_neighbours: int, *, enable_refraction=True,
-        enable_distortion=True, with_topk=False, method: str = "fast"):
+        enable_distortion=True, with_topk=False, method: str = "fast",
+        nbr_valid=None):
     """Initial depth hypothesis for one view against its stacked neighbours.
 
     grays_nbr/masks_nbr: [N, H, W]; cams_nbr: Camera pytree with leading
@@ -219,6 +228,10 @@ def mvs_initial_estimate_oneview(
     start value outside peaks per multiviewstereo.cpp:559) and, when
     ``with_topk``, the (ncc, depth) top-K hypothesis volume
     ``[K, H, W] x 2`` sorted ascending (peaks padded with (0, -1)).
+
+    ``nbr_valid`` ([N] bool) marks which stacked neighbours are real —
+    views with fewer neighbours pad to a common N so the whole rig shares
+    one compiled executable.
     """
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
@@ -226,7 +239,8 @@ def mvs_initial_estimate_oneview(
     plane_cost, depths = _build_mvs_cost_fn(
         rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
         cams_nbr, cfg, enable_refraction=enable_refraction,
-        enable_distortion=enable_distortion, method=method)
+        enable_distortion=enable_distortion, method=method,
+        nbr_valid=nbr_valid)
 
     if not with_topk:
         best_ncc, best_depth = mvs_wta_slab(plane_cost, depths, cfg,
@@ -329,8 +343,17 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
     grays = (0.11 * rgbs[..., 0] + 0.59 * rgbs[..., 1]
              + 0.3 * rgbs[..., 2])
 
+    # Pad every view's neighbour list to one common N (validity-masked)
+    # so all V views reuse ONE compiled executable instead of compiling
+    # per distinct neighbour count (multiviewstereo.cpp:335-360 gives
+    # edge cameras fewer neighbours).
+    n_pad = max((len(n) for n in neighbours), default=0)
+
     def initial_estimate(i):
-        nbr = neighbours[i]
+        nbr = list(neighbours[i])
+        valid = jnp.asarray([True] * len(nbr)
+                            + [False] * (n_pad - len(nbr)))
+        nbr = nbr + [nbr[0] if nbr else 0] * (n_pad - len(nbr))
         cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs),
                                 *[cams[j] for j in nbr])
         if cfg.use_mrf:
@@ -338,10 +361,10 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
             top_ncc, top_depth = mvs_initial_estimate_oneview(
                 rgbs[i], grays[i], masks[i],
                 grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
-                cams[i], cams_nbr, cfg, len(nbr),
+                cams[i], cams_nbr, cfg, n_pad,
                 enable_refraction=enable_refraction,
                 enable_distortion=enable_distortion, method=method,
-                with_topk=True)
+                with_topk=True, nbr_valid=valid)
             res = trws_optimize(top_ncc, top_depth, cfg,
                                 max_iters=cfg.mrf_max_iters)
             d = labels_to_depth(res.labels, top_depth)
@@ -349,9 +372,10 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
         return mvs_initial_estimate_oneview(
             rgbs[i], grays[i], masks[i],
             grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
-            cams[i], cams_nbr, cfg, len(nbr),
+            cams[i], cams_nbr, cfg, n_pad,
             enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion, method=method)
+            enable_distortion=enable_distortion, method=method,
+            nbr_valid=valid)
 
     if view_ids is None:
         view_ids = [str(i) for i in range(n_views)]

@@ -70,6 +70,36 @@ class TestMVSParity:
             a = depth_agreement(got[i], want)
             assert a > 0.99, f"view {i} agreement {a}"
 
+    def test_heterogeneous_neighbour_counts_match_oracle(self, rng):
+        """Views with different neighbour counts share one padded compiled
+        shape (nbr_valid masking) — must still match the oracle exactly."""
+        cams, ocams, rgbs, masks = make_rig(rng, n=4)
+        # twist the last camera so it fails the |dot| > 0.2 rule against
+        # the far end of the arc -> neighbour lists of different lengths
+        ang = 1.45
+        R = np.array([[np.cos(ang), 0, np.sin(ang)],
+                      [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]])
+        C = np.array([-np.sin(0.15) * 60.0, 0.0,
+                      60.0 - np.cos(0.15) * 60.0])
+        K = np.asarray(cams[0].K)
+        cams[3] = make_camera(K, R, R @ -C)
+        ocams[3] = orc.OracleCamera(K, R, R @ -C)
+
+        neighbours = select_neighbours(cams, CFG)
+        lens = {len(n) for n in neighbours}
+        assert len(lens) > 1, f"fixture needs mixed counts, got {lens}"
+
+        got = mvs_depth_maps(rgbs, masks, cams, CFG, cross_check=False,
+                             method="exact", dtype=jnp.float64)
+        for i in range(4):
+            if not neighbours[i]:
+                continue
+            want = orc.oracle_mvs_oneview(rgbs, masks, ocams, i,
+                                          neighbours[i], CFG)
+            a = depth_agreement(got[i], want)
+            assert a > 0.99, f"view {i} agreement {a}"
+
     def test_full_with_cross_check(self, rng):
         cams, ocams, rgbs, masks = make_rig(rng, n=3)
         got = mvs_depth_maps(rgbs, masks, cams, CFG, cross_check=True,
