@@ -33,6 +33,45 @@ from .floydwarshall import FloydWarshall
 from ..runtime.trace import metric, trace
 
 
+def _board_errors_batched(cams_stacked, ais, bis, pas, pbs):
+    """All (cam_a, cam_b, set) board errors in one jitted vmap.
+
+    cams_stacked: Camera pytree with leading axis n_cams; ais/bis: [B]
+    camera indices; pas/pbs: [B, M, 2].  Returns [B] per-board means."""
+    import jax
+    import jax.numpy as jnp
+    from ..geometry.camera import unproject, project
+
+    def one(ai, bi, pa, pb):
+        cam_a = jax.tree.map(lambda x: x[ai], cams_stacked)
+        cam_b = jax.tree.map(lambda x: x[bi], cams_stacked)
+        o1, d1 = unproject(cam_a, pa)
+        o2, d2 = unproject(cam_b, pb)
+        q1, q2 = closest_points(o1, d1, o2, d2)
+        mid = 0.5 * (q1 + q2)
+        xy_a, va = project(cam_a, mid)
+        xy_b, vb = project(cam_b, mid)
+        ok = va & vb
+        da = jnp.linalg.norm(xy_a - pa, axis=-1)
+        db = jnp.linalg.norm(xy_b - pb, axis=-1)
+        d = jnp.where(ok, 0.5 * (da + db), 0.0)
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        return d.mean()
+
+    return jax.vmap(one)(ais, bis, pas, pbs)
+
+
+def _get_board_errors_jit():
+    global _BOARD_ERRORS_JIT
+    if _BOARD_ERRORS_JIT is None:
+        import jax
+        _BOARD_ERRORS_JIT = jax.jit(_board_errors_batched)
+    return _BOARD_ERRORS_JIT
+
+
+_BOARD_ERRORS_JIT = None
+
+
 def board_object_points(cfg: CalibrationConfig) -> np.ndarray:
     """Board corner grid (calibrate.cpp:256-262): row-major, z = 0."""
     pts = []
@@ -103,13 +142,18 @@ class CameraCalibration:
                      ) -> Dict[Tuple[int, int, int], float]:
         """Mean symmetric reprojection error per (cam_a, cam_b, set) board
         observation pair — same math as compute_error, grouped so outlier
-        boards can be attributed."""
-        image_points = image_points or self.image_points
-        out: Dict[Tuple[int, int, int], float] = {}
-        cams = [state.camera(i) for i in range(self.n_cams)]
-        import jax.numpy as jnp
-        from ..geometry.camera import unproject, project
+        boards can be attributed.
 
+        All board pairs are evaluated in ONE batched (vmapped) device call
+        — the per-pair loop used to dominate calibrate() wall-clock with
+        hundreds of tiny dispatches."""
+        image_points = image_points or self.image_points
+        cams = [state.camera(i) for i in range(self.n_cams)]
+        import jax
+        import jax.numpy as jnp
+
+        keys = []
+        pas, pbs, ais, bis = [], [], [], []
         for a in range(self.n_cams):
             for b in range(a + 1, self.n_cams):
                 for s in range(self.n_sets):
@@ -119,19 +163,20 @@ class CameraCalibration:
                             or len(pa) != self.n_corners
                             or len(pb) != self.n_corners):
                         continue
-                    o1, d1 = unproject(cams[a], jnp.asarray(pa))
-                    o2, d2 = unproject(cams[b], jnp.asarray(pb))
-                    q1, q2 = closest_points(o1, d1, o2, d2)
-                    mid = 0.5 * (np.asarray(q1) + np.asarray(q2))
-                    xy_a, va = project(cams[a], jnp.asarray(mid))
-                    xy_b, vb = project(cams[b], jnp.asarray(mid))
-                    ok = np.asarray(va) & np.asarray(vb)
-                    da = np.linalg.norm(np.asarray(xy_a) - pa, axis=-1)
-                    db = np.linalg.norm(np.asarray(xy_b) - pb, axis=-1)
-                    d = np.where(ok, 0.5 * (da + db), 0.0)
-                    d = np.where(np.isfinite(d), d, 0.0)
-                    out[(a, b, s)] = float(d.mean())
-        return out
+                    keys.append((a, b, s))
+                    pas.append(pa)
+                    pbs.append(pb)
+                    ais.append(a)
+                    bis.append(b)
+        if not keys:
+            return {}
+
+        cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        vals = np.asarray(_get_board_errors_jit()(
+            cams_stacked, jnp.asarray(ais, jnp.int32),
+            jnp.asarray(bis, jnp.int32), jnp.asarray(np.stack(pas)),
+            jnp.asarray(np.stack(pbs))))
+        return {k: float(v) for k, v in zip(keys, vals)}
 
     def compute_error(self, state: RigCalibrationState,
                       image_points=None) -> float:
