@@ -186,3 +186,21 @@ def read_exr(path: str) -> np.ndarray:
     if name_order == ["B", "G", "R"]:
         out = out[..., ::-1]
     return out
+
+
+def write_octave_matrix(stream, name: str, mat, timestamp: str = "") -> None:
+    """Octave text-format matrix dump — the reference's debugging exporter
+    ``outputMatlabMatrixHeader`` (stereo/calibrate.cpp:274-280) plus the
+    row-major value block Octave's ``load`` expects.
+
+    ``timestamp`` replaces the reference's QDateTime string (pass "" for
+    reproducible output)."""
+    import numpy as np
+    mat = np.atleast_2d(np.asarray(mat, np.float64))
+    stream.write(f"# Created by StereoReconstruction, {timestamp}\n")
+    stream.write(f"# name: {name}\n")
+    stream.write("# type: matrix\n")
+    stream.write(f"# rows: {mat.shape[0]}\n")
+    stream.write(f"# columns: {mat.shape[1]}\n")
+    for row in mat:
+        stream.write(" " + " ".join(repr(float(v)) for v in row) + "\n")

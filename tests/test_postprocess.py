@@ -115,3 +115,22 @@ class TestPMVS:
         assert (tmp_path / "pmvs" / "visualize" / "00000001.jpg").exists()
         opts = (tmp_path / "pmvs" / "option.txt").read_text()
         assert "timages -1 0 2" in opts
+
+
+class TestOctaveDump:
+    def test_octave_matrix_roundtrip(self, tmp_path):
+        """write_octave_matrix emits the reference's header
+        (calibrate.cpp:274-280) in a form Octave/NumPy can read back."""
+        import io
+        import numpy as np
+        from stereoreconstruction_tpu.data.formats import (
+            write_octave_matrix)
+        m = np.array([[1.5, -2.0, 3.25], [0.0, 4.0, 5.5]])
+        buf = io.StringIO()
+        write_octave_matrix(buf, "P", m)
+        text = buf.getvalue()
+        assert "# name: P" in text and "# type: matrix" in text
+        assert "# rows: 2" in text and "# columns: 3" in text
+        body = [l for l in text.splitlines() if not l.startswith("#")]
+        back = np.array([[float(v) for v in l.split()] for l in body])
+        np.testing.assert_array_equal(back, m)
