@@ -27,7 +27,8 @@ _WEPS = 1e-10
 
 def _cost_kernel(depths_ref, warped_hbm, wvalid_hbm, grayp_hbm, maskp_hbm,
                  weights_ref, min_ref, second_ref, best_ref,
-                 gray_buf, mask_buf, warp_buf, wv_buf, accs, sems, *,
+                 gray_buf, mask_buf, warp_buf, wv_buf, glt_buf, lvt_buf,
+                 sems, *,
                  radius: int, n_depths: int, max_color_diff: float,
                  bad_ret: float, tile_h: int, width: int):
     size = 2 * radius + 1
@@ -63,6 +64,20 @@ def _cost_kernel(depths_ref, warped_hbm, wvalid_hbm, grayp_hbm, maskp_hbm,
     g_dma.wait()
     m_dma.wait()
 
+    # Lane-offset tap slices are expensive on TPU (every misaligned read
+    # costs lane shifts).  Hoist them: build the `size` lane-rolled copies
+    # of the reference tile ONCE (they are depth-invariant), and roll the
+    # warped tile once per (depth, t) — 2*size rolls per depth instead of
+    # 4*size^2 misaligned slices.  All remaining tap reads are
+    # lane-aligned with sublane offsets only.
+    def lane_roll(x, t):
+        # left-roll by t (pltpu.roll only takes non-negative shifts)
+        return x if t == 0 else pltpu.roll(x, x.shape[1] - t, 1)
+
+    for t in range(size):
+        glt_buf[t] = lane_roll(gray_buf[:], t)
+        lvt_buf[t] = lane_roll(mask_buf[:], t)
+
     def depth_body(d, _):
         slot = jax.lax.rem(d, i32(2))
         nxt = jax.lax.rem(d + i32(1), i32(2))
@@ -74,37 +89,40 @@ def _cost_kernel(depths_ref, warped_hbm, wvalid_hbm, grayp_hbm, maskp_hbm,
 
         warp_dma(slot, d).wait()
         wv_dma(slot, d).wait()
+        w_full = warp_buf[slot]
+        v_full = wv_buf[slot]
 
-        # accumulate into VMEM scratch (in-place) so Mosaic's stack
-        # allocator reuses buffers instead of materializing 121 taps of
-        # SSA temporaries (which OOMs scoped vmem)
-        accs[:] = jnp.zeros_like(accs)
+        # Roll the warped tile once per t (hoisted out of the tap loop).
+        wrt = [lane_roll(w_full, t) for t in range(size)]
+        rvt = [lane_roll(v_full, t) for t in range(size)]
+
+        # Accumulate in SSA values (register-allocated by Mosaic) — a
+        # per-tap VMEM scratch round-trip costs 2 x 7 x [tile, W] of VMEM
+        # traffic per tap.  Loop order (s outer, t inner) matches
+        # ncc_fast.fast_cost_plane so the f32 summation order — and hence
+        # near-tie WTA picks — is bit-identical to the fast path.
+        zero = jnp.zeros((tile_h, width), jnp.float32)
+        S_w = S_l = S_r = S_ll = S_rr = S_lr = N = zero
         for s in range(size):
             for t in range(size):
                 wgt = weights_ref[s * size + t]
-                gl = gray_buf[s:s + tile_h, t:t + width]
-                lv = mask_buf[s:s + tile_h, t:t + width]
-                gr = warp_buf[slot, s:s + tile_h, t:t + width]
-                rv = wv_buf[slot, s:s + tile_h, t:t + width]
+                gl = glt_buf[t, s:s + tile_h, :width]
+                lv = lvt_buf[t, s:s + tile_h, :width]
+                gr = wrt[t][s:s + tile_h, :width]
+                rv = rvt[t][s:s + tile_h, :width]
 
                 m = lv * rv * jnp.where(wgt > _WEPS, 1.0, 0.0)
                 wl = wgt * gl
                 wr = wgt * gr
-                accs[0] += m * wgt
-                accs[1] += m * wl
-                accs[2] += m * wr
-                accs[3] += m * wl * wl
-                accs[4] += m * wr * wr
-                accs[5] += m * wl * wr
-                accs[6] += m
-
-        S_w = accs[0]
-        S_l = accs[1]
-        S_r = accs[2]
-        S_ll = accs[3]
-        S_rr = accs[4]
-        S_lr = accs[5]
-        N = accs[6]
+                mwl = m * wl
+                mwr = m * wr
+                S_w = S_w + m * wgt
+                S_l = S_l + mwl
+                S_r = S_r + mwr
+                S_ll = S_ll + mwl * wl
+                S_rr = S_rr + mwr * wr
+                S_lr = S_lr + mwl * wr
+                N = N + m
 
         have = S_w > _WEPS
         S_w_safe = jnp.where(have, S_w, 1.0)
@@ -118,8 +136,8 @@ def _cost_kernel(depths_ref, warped_hbm, wvalid_hbm, grayp_hbm, maskp_hbm,
         v = jnp.where(jnp.isnan(v), max_color_diff,
                       jnp.minimum(max_color_diff, v))
         cost = jnp.where(have, v, bad_ret)
-        center_valid = wv_buf[slot, radius:radius + tile_h,
-                              radius:radius + width] > 0.5
+        center_valid = lane_roll(v_full, radius)[
+            radius:radius + tile_h, :width] > 0.5
         cost = jnp.where(center_valid, cost, jnp.inf)
 
         better = cost + 1e-10 < min_ref[:]
@@ -214,7 +232,8 @@ def _call(kernel, out_shape, n_tiles, n_depths, size, tile_h, th, wh, w,
             pltpu.VMEM((th, wh), f32),        # mask_buf
             pltpu.VMEM((2, th, wh), f32),     # warp_buf
             pltpu.VMEM((2, th, wh), f32),     # wv_buf
-            pltpu.VMEM((7, tile_h, w), f32),  # NCC accumulators
+            pltpu.VMEM((size, th, wh), f32),  # glt_buf (lane-rolled gray)
+            pltpu.VMEM((size, th, wh), f32),  # lvt_buf (lane-rolled valid)
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )(depths_f, warped_p, wvalid_p, gray_p, mask_p, weights_f)
