@@ -337,6 +337,14 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
     n_views = len(cams)
     neighbours = select_neighbours(cams, cfg)
     cams = [c.astype(dtype) for c in cams]
+    # Host-level static demotion (see stereo/twoview.compute_depth_maps):
+    # skip the refractive/distortion projection paths when no camera in
+    # the rig actually uses them.
+    from .twoview import _host_refractive, _host_distorted
+    enable_refraction = enable_refraction and any(
+        _host_refractive(c) for c in cams)
+    enable_distortion = enable_distortion and any(
+        _host_distorted(c) for c in cams)
 
     rgbs = jnp.asarray(rgbs, dtype)
     masks = jnp.asarray(masks, bool)

@@ -46,6 +46,16 @@ class TwoViewResult(NamedTuple):
     depth_right: jnp.ndarray   # [H, W]
 
 
+def _host_refractive(cam: Camera) -> bool:
+    """Camera::isRefractive_ evaluated on host scalars (no device op)."""
+    return (abs(float(np.asarray(cam.refr_index)) - 1.0) > 1e-10
+            and abs(float(np.asarray(cam.plane_dist))) > 1e-10)
+
+
+def _host_distorted(cam: Camera) -> bool:
+    return bool(np.any(np.abs(np.asarray(cam.dist)) > 1e-10))
+
+
 def _wta_scan(cost_fn, depths, init_shape, dtype):
     """Sequential WTA over depth labels with reference tie/second-best
     semantics."""
@@ -402,6 +412,16 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
 
     cam_l = cam_l.astype(dtype)
     cam_r = cam_r.astype(dtype)
+    # Host-level demotion: enable_refraction is a *static* flag; when
+    # neither camera actually has an interface (Camera::isRefractive_
+    # false, camera.cpp:329/339) the refractive projection is the identity
+    # but still costs the per-pixel-per-depth interface solve (~35% of the
+    # whole sweep measured on bunny).  Cameras are concrete here, so
+    # resolve it before tracing.
+    enable_refraction = enable_refraction and (
+        _host_refractive(cam_l) or _host_refractive(cam_r))
+    enable_distortion = enable_distortion and (
+        _host_distorted(cam_l) or _host_distorted(cam_r))
 
     # Stage timers replace the reference's QTime+qDebug prints around each
     # cost-volume pass (twoviewstereo.cpp:260,333,431,501).  Device work is
