@@ -1,32 +1,52 @@
-"""Benchmark: bunny two-view cost-volume throughput on TPU vs the
-reference-style CPU baseline, with a quality gate vs the independent
-native-oracle golden.
+"""Benchmark: bunny stereo throughput on TPU vs the reference-style CPU
+baseline, with two-sided quality gates vs independent native-oracle
+goldens.  Two arms:
 
-Config #1 of BASELINE.json: example-project bunny pair, README-equivalent
-stereo settings (100 depth levels, image scale 0.5, geodesic weights,
-radius-5 NCC, WTA + second-best rejection + cross-check).  Depth range
-[30, 80] in the shipped calibration's units (the README's 300/800 applies to
-re-calibrated mm units; the shipped projection matrices put the bunny at
-~50 units — see BASELINE.md).
+* two-view (config #1 of BASELINE.json): bunny pair, README-equivalent
+  settings (100 depth levels, scale 0.5, geodesic weights, radius-5 NCC,
+  WTA + second-best rejection + symmetric cross-check).  Both production
+  methods ("fast" MXU warp volume, "pallas" fused NCC/WTA kernel) are
+  timed; the faster is the headline.
+* MVS (the reference's flagship workflow, multiviewstereo.cpp:325-475):
+  all 8 bunny views, Campbell 2009 config (radius 2, 100 uniform depths,
+  NCC>0.95 peaks, any-view cross-check 0.5), one batched dispatch for
+  all views (stereo/multiview.mvs_initial_estimates_batched).
 
-Baseline: the reference publishes no numbers, so per BASELINE.md the
-baseline is our faithful C++/OpenMP re-implementation of the reference's
-per-pixel loops (runtime/native/twoview_oracle.cpp), measured once on this
-machine and cached in BASELINE_MEASURED.json.
+Depth range [30, 80] in the shipped calibration's units (the README's
+300/800 applies to re-calibrated mm units; see BASELINE.md).
 
-Quality gate (VERDICT r1 item 1): both production methods ("fast" MXU warp
-volume and "pallas" fused NCC/WTA kernel) are timed; the faster one is the
-headline.  Its cross-checked output is compared against the cross-checked
-native golden (tests/golden/bunny_native_s05_d100.npz, generated by the C++
-oracle at this exact config): where both keep a pixel, depths must agree
-within the reference's own INCONSISTENCY_THRESH=1 (twoviewstereo.cpp:78)
-for >=90% of pixels with median <=0.5, and survivor coverage must be >=0.8x
-the golden's.  A failing gate exits non-zero so a speed win can never
-silently be a correctness loss.
+Baselines: the reference publishes no numbers, so per BASELINE.md the
+baselines are our C++/OpenMP re-implementations of the reference's
+per-pixel loops (runtime/native/twoview_oracle.cpp), measured once on
+this machine and cached in BASELINE_MEASURED.json.
+
+Quality gates (all enforced, non-zero exit on failure; measured on a
+CLEAN run — the timing loop perturbs inputs to defeat memoization, so
+gating re-runs on unperturbed inputs):
+
+two-view, vs the cross-checked native golden
+(tests/golden/bunny_native_s05_d100.npz):
+  * common survivors: >=90% within the reference's INCONSISTENCY_THRESH=1
+    (twoviewstereo.cpp:78), median <= 0.5;
+  * coverage bounded BOTH ways: 0.8x <= survivors/golden <= 1.9x
+    (VERDICT r2: the old gate was one-sided);
+  * extra survivors (kept by production, dropped by the golden's
+    cross-check) are compared against the golden's PRE-cross-check depth
+    where it exists: median <= 0.5 and >=70% within 1 — the extra pixels
+    must be *accurate*, not junk;
+  * inlier RMSE (survivor diffs <= 1) <= 0.5.  Full-map RMSE is reported
+    but gated loosely (<= 3.0): the tail is near-tie WTA flips between
+    discretizations (reference curve-pixels vs dense sweep), bounded by
+    the frac/median/extra gates above.
+
+MVS, vs the native MVS golden (tests/golden/bunny_native_mvs_s05_d100.npz,
+scripts/make_mvs_golden.py): same structure; agreement measured in depth
+labels (uniform step ~0.505), coverage both ways, extra survivors vs the
+golden's pre-cross-check map.
 
 Prints ONE JSON line:
   {"metric": ..., "value": views/s/chip, "unit": "views/s",
-   "vs_baseline": x, ...quality fields}
+   "vs_baseline": x, ...method/mvs/quality fields}
 """
 
 import json
@@ -43,16 +63,73 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def survivor_stats(got, want_cc, want_pre, thresh):
+    """Two-sided quality stats of `got` vs a cross-checked golden
+    (want_cc) + its pre-cross-check map (want_pre).
+
+    "finite" here = pixel carries a usable depth (MVS maps use -1 for
+    no-peak: excluded)."""
+    usable = lambda d: np.isfinite(d) & (d >= 0)
+    g, wc, wp = usable(got), usable(want_cc), usable(want_pre)
+
+    both = g & wc
+    d = np.abs(got[both] - want_cc[both])
+    stats = {
+        "survivor_frac_within_1": float(np.mean(d <= thresh)),
+        "survivor_median_absdiff": float(np.median(d)),
+        "survivor_rmse": float(np.sqrt(np.mean(d ** 2))),
+        "survivor_rmse_inliers": float(
+            np.sqrt(np.mean(d[d <= thresh] ** 2))) if (d <= thresh).any()
+        else 0.0,
+        "coverage_vs_golden": float(g.mean() / max(wc.mean(), 1e-9)),
+    }
+    # extra survivors: production keeps, golden's cross-check dropped
+    extra = g & ~wc & wp
+    stats["extra_survivor_frac"] = float(extra.sum() / max(g.sum(), 1))
+    if extra.any():
+        de = np.abs(got[extra] - want_pre[extra])
+        stats["extra_median_absdiff"] = float(np.median(de))
+        stats["extra_frac_within_1"] = float(np.mean(de <= thresh))
+    else:
+        stats["extra_median_absdiff"] = 0.0
+        stats["extra_frac_within_1"] = 1.0
+    return stats
+
+
+def gate_twoview(stats):
+    ok = (stats["survivor_frac_within_1"] >= 0.9
+          and stats["survivor_median_absdiff"] <= 0.5
+          and 0.8 <= stats["coverage_vs_golden"] <= 1.9
+          and stats["extra_median_absdiff"] <= 0.5
+          and stats["extra_frac_within_1"] >= 0.7
+          and stats["survivor_rmse_inliers"] <= 0.5
+          and stats["survivor_rmse"] <= 3.0)
+    return ok
+
+
+def gate_mvs(stats, label):
+    # depth label step ~0.505 -> median within one label, frac within ~2
+    ok = (stats["survivor_frac_within_1"] >= 0.9
+          and stats["survivor_median_absdiff"] <= 0.51
+          and 0.8 <= stats["coverage_vs_golden"] <= 1.9
+          and stats["extra_median_absdiff"] <= 0.51
+          and stats["extra_frac_within_1"] >= 0.7)
+    return ok
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     import jax.numpy as jnp
-    from stereoreconstruction_tpu.config import TwoViewConfig
+    from stereoreconstruction_tpu.config import (MultiViewConfig,
+                                                 TwoViewConfig)
     from stereoreconstruction_tpu.data.project_io import load_project
     from stereoreconstruction_tpu.data.images import load_image
     from stereoreconstruction_tpu.stereo.twoview import (
         compute_depth_maps, cross_check_pair)
+    from stereoreconstruction_tpu.stereo.multiview import (
+        mvs_depth_maps, select_neighbours)
 
     repo = os.path.dirname(os.path.abspath(__file__))
     proj = load_project("/root/reference/example/project.xml")
@@ -94,7 +171,7 @@ def main():
             json.dump(baseline, f, indent=1)
         log(f"baseline: {base_s:.1f}s/view")
 
-    # ---- TPU engine: time both production methods ----
+    # ---- TPU two-view: time both production methods ----
     def run_method(method, n_iter=3):
         args = (imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
                 cams[0], cams[1], cfg)
@@ -119,21 +196,24 @@ def main():
         dt = min(times)
         log(f"{method}: {dt:.3f}s/pair -> {2.0 / dt:.2f} views/s "
             f"(times: {[round(t, 3) for t in times]})")
-        return 2.0 / dt, res
+        return 2.0 / dt
 
     arms = {}
-    results = {}
     for method in ("fast", "pallas"):
-        arms[method], results[method] = run_method(method)
+        arms[method] = run_method(method)
     winner = max(arms, key=arms.get)
     views_per_s = arms[winner]
-    res = results[winner]
     log(f"winner: {winner}")
 
-    # ---- quality gate vs the cross-checked native golden ----
-    golden_path = os.path.join(repo, "tests", "golden",
-                               "bunny_native_s05_d100.npz")
-    g = np.load(golden_path)
+    # quality is gated on a CLEAN (unperturbed) run of the winner — the
+    # timing loop's perturbation can flip near-tie WTA picks (ADVICE r2)
+    res = compute_depth_maps(
+        imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
+        cams[0], cams[1], cfg, method=winner, dtype=jnp.float32)
+
+    # ---- two-view quality gate vs the cross-checked native golden ----
+    g = np.load(os.path.join(repo, "tests", "golden",
+                             "bunny_native_s05_d100.npz"))
     cams32 = [c.astype(jnp.float32) for c in cams]
     gl, gr = cross_check_pair(jnp.asarray(g["depth_left"]),
                               jnp.asarray(g["depth_right"]),
@@ -142,23 +222,80 @@ def main():
 
     quality = {}
     ok = True
-    for got, want, key in ((np.asarray(res.depth_left), gl, "left"),
-                           (np.asarray(res.depth_right), gr, "right")):
-        both = np.isfinite(got) & np.isfinite(want)
-        d = np.abs(got[both] - want[both])
-        cov_ratio = float(np.isfinite(got).mean()
-                          / max(np.isfinite(want).mean(), 1e-9))
-        frac1 = float(np.mean(d <= cfg.inconsistency_thresh))
-        med = float(np.median(d))
-        rmse = float(np.sqrt(np.mean(d ** 2)))
-        quality[key] = {"survivor_frac_within_1": round(frac1, 4),
-                        "survivor_median_absdiff": round(med, 4),
-                        "survivor_rmse": round(rmse, 4),
-                        "coverage_vs_golden": round(cov_ratio, 3)}
-        if frac1 < 0.9 or med > 0.5 or cov_ratio < 0.8:
+    for got, want_cc, want_pre, key in (
+            (np.asarray(res.depth_left), gl, g["depth_left"], "left"),
+            (np.asarray(res.depth_right), gr, g["depth_right"], "right")):
+        s = survivor_stats(got, want_cc, np.asarray(want_pre),
+                           cfg.inconsistency_thresh)
+        quality[key] = {k: round(v, 4) for k, v in s.items()}
+        if not gate_twoview(s):
             ok = False
-        log(f"quality {key}: frac<=1 {frac1:.3f} median {med:.3f} "
-            f"rmse {rmse:.3f} coverage x{cov_ratio:.2f}")
+        log(f"quality {key}: {quality[key]} "
+            f"{'OK' if gate_twoview(s) else 'FAIL'}")
+
+    # ---- MVS arm (the flagship workflow) ----
+    mvs_fields = {}
+    mvs_golden_path = os.path.join(repo, "tests", "golden",
+                                   "bunny_native_mvs_s05_d100.npz")
+    if os.path.exists(mvs_golden_path):
+        mcfg = MultiViewConfig(min_depth=30.0, max_depth=80.0,
+                               cross_check_threshold=0.5)
+        mvs_cam_ids = sorted(
+            c for c in proj.cameras
+            if bunny.default_image_for_camera(c) is not None)
+        mcams = [proj.cameras[c].to_camera() for c in mvs_cam_ids]
+        mimgs = [load_image(bunny.default_image_for_camera(c).file,
+                            mcfg.image_scale) for c in mvs_cam_ids]
+        mrgbs = np.stack([i.rgb for i in mimgs])
+        mmasks = np.stack([i.mask for i in mimgs])
+        n_views = len(mcams)
+
+        t0 = time.time()
+        md = mvs_depth_maps(mrgbs, mmasks, mcams, mcfg)
+        np.asarray(md)
+        log(f"mvs: warmup (incl compile): {time.time() - t0:.1f}s")
+        times = []
+        for i in range(2):
+            r = mrgbs.copy()
+            r[..., 0] += np.float32(i + 1) * np.float32(1e-3)
+            t0 = time.time()
+            md = mvs_depth_maps(r, mmasks, mcams, mcfg)
+            np.asarray(md)
+            times.append(time.time() - t0)
+        dt = min(times)
+        mvs_views_per_s = n_views / dt
+        log(f"mvs: {dt:.3f}s for {n_views} views -> "
+            f"{mvs_views_per_s:.2f} views/s "
+            f"(times: {[round(t, 3) for t in times]})")
+
+        md = np.asarray(mvs_depth_maps(mrgbs, mmasks, mcams, mcfg))
+
+        mg = np.load(mvs_golden_path)
+        assert list(mg["cam_ids"]) == mvs_cam_ids, "golden camera mismatch"
+        mq = {}
+        for i, cid in enumerate(mvs_cam_ids):
+            s = survivor_stats(md[i], mg["depths_post"][i],
+                               mg["depths_pre"][i], 1.0)
+            if not gate_mvs(s, cid):
+                ok = False
+                log(f"mvs quality {cid}: FAIL {s}")
+            mq[cid] = {k: round(v, 4) for k, v in s.items()}
+        agg = {k: round(float(np.mean([mq[c][k] for c in mq])), 4)
+               for k in next(iter(mq.values()))}
+        log(f"mvs quality (mean over views): {agg}")
+
+        mvs_base = baseline.get("mvs", {})
+        mvs_fields = {
+            "mvs_views_per_s": round(mvs_views_per_s, 3),
+            "mvs_vs_baseline": round(
+                mvs_views_per_s / mvs_base["views_per_s"], 2)
+            if mvs_base else None,
+            "mvs_quality_mean": agg,
+        }
+    else:
+        log("NO MVS GOLDEN (run scripts/make_mvs_golden.py) — "
+            "mvs arm skipped")
+        ok = False
 
     vs = views_per_s / baseline["views_per_s"]
     print(json.dumps({
@@ -172,6 +309,7 @@ def main():
         "views_per_s_pallas": round(arms["pallas"], 3),
         "quality_ok": ok,
         "quality_vs_native_golden": quality,
+        **mvs_fields,
     }))
     if not ok:
         log("QUALITY GATE FAILED")

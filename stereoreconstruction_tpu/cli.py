@@ -142,14 +142,22 @@ def cmd_refraction(args):
 
 
 def cmd_stereo(args):
+    import jax
     import jax.numpy as jnp
     from .config import MultiViewConfig, TwoViewConfig
     from .data.images import load_image
     from .data.ply import write_ply
+    from .parallel.launcher import initialize_distributed
     from .runtime.trace import metric as trace_metric
     from .stereo.multiview import mvs_depth_maps, depth_maps_to_ply
     from .stereo.twoview import compute_depth_maps
     from .viz.render import save_depth_image
+
+    # Join a multi-host cluster when JAX_COORDINATOR/JAX_NUM_PROCESSES is
+    # set (no-op single-process) — the pod launch documented at
+    # parallel/launcher.py:17-21.  Sharded engines below then see the
+    # *global* device set.
+    initialize_distributed()
 
     proj = _load(args.project)
     iset = proj.image_sets[args.image_set]
@@ -162,17 +170,38 @@ def cmd_stereo(args):
     outdir = args.output or "."
     os.makedirs(outdir, exist_ok=True)
 
+    n_dev = len(jax.devices())
+    shard = args.shard
+    if shard == "auto":
+        shard = ("row" if args.two_view else "depth") if n_dev > 1 \
+            else "none"
+    if args.mrf and shard != "none":
+        print("--mrf runs unsharded (dense-label volume)", file=sys.stderr)
+        shard = "none"
+
     if args.two_view:
         cfg = TwoViewConfig(min_depth=args.min_depth,
                             max_depth=args.max_depth,
                             num_depth_levels=args.depth_levels,
                             image_scale=args.scale)
-        res = compute_depth_maps(
-            imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
-            cams[0], cams[1], cfg, method=args.method,
-            use_mrf=args.mrf)
-        depths = np.stack([np.asarray(res.depth_left),
-                           np.asarray(res.depth_right)])
+        if shard == "row" and n_dev > 1:
+            from .parallel.rowshard import (
+                make_mesh, stack_cameras, twoview_pairs_rowsharded)
+            mesh = make_mesh(1, n_dev)
+            print(f"row-sharded over {n_dev} devices", file=sys.stderr)
+            dl, dr = twoview_pairs_rowsharded(
+                mesh, imgs[0].rgb[None], imgs[0].mask[None],
+                imgs[1].rgb[None], imgs[1].mask[None],
+                stack_cameras([cams[0]]), stack_cameras([cams[1]]),
+                cfg, method=args.method)
+            depths = np.stack([np.asarray(dl[0]), np.asarray(dr[0])])
+        else:
+            res = compute_depth_maps(
+                imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
+                cams[0], cams[1], cfg, method=args.method,
+                use_mrf=args.mrf)
+            depths = np.stack([np.asarray(res.depth_left),
+                               np.asarray(res.depth_right)])
         style = "twoview"
     else:
         cfg = MultiViewConfig(min_depth=args.min_depth,
@@ -185,11 +214,26 @@ def cmd_stereo(args):
         if args.resume:
             from .runtime.checkpoint import DepthCheckpoint
             ckpt = DepthCheckpoint(os.path.join(outdir, "checkpoint"), cfg)
+        depth_mesh = None
+        if shard == "depth" and n_dev > 1:
+            from .parallel.depthshard import make_depth_mesh
+            n_dep = max(d for d in range(1, n_dev + 1)
+                        if args.depth_levels % d == 0)
+            if n_dep > 1:
+                depth_mesh = make_depth_mesh(n_dep)
+                print(f"depth-slab sharded over {n_dep} devices",
+                      file=sys.stderr)
         depths = np.asarray(mvs_depth_maps(
             np.stack([i.rgb for i in imgs]),
             np.stack([i.mask for i in imgs]), cams, cfg,
-            checkpoint=ckpt, view_ids=cam_ids))
+            checkpoint=ckpt, view_ids=cam_ids, depth_mesh=depth_mesh))
         style = "mvs"
+
+    if args.save_npz:
+        np.savez_compressed(
+            args.save_npz, depths=depths,
+            cam_ids=np.asarray(cam_ids[:len(depths)]))
+        print(f"wrote raw depths to {args.save_npz}")
 
     for i, cid in enumerate(cam_ids[:len(depths)]):
         d = depths[i]
@@ -485,10 +529,22 @@ def main(argv=None):
                     help="MRF optimization over the cost volume instead of "
                          "WTA (two-view: min-sum BP over dense labels; "
                          "MVS: TRW-S over the top-K hypothesis volume)")
-    sp.add_argument("--method", choices=("fast", "pallas", "exact"),
-                    default="fast",
-                    help="two-view cost-volume backend (see "
-                         "stereo.twoview.compute_depth_map_oneview)")
+    sp.add_argument("--method", choices=("auto", "fast", "pallas", "exact"),
+                    default="auto",
+                    help="two-view cost-volume backend; auto = the fused "
+                         "Pallas kernel on TPU (bench winner), the XLA "
+                         "fast path elsewhere (see "
+                         "stereo.twoview.resolve_method)")
+    sp.add_argument("--shard", choices=("auto", "none", "row", "depth"),
+                    default="auto",
+                    help="multi-device sharding: row-blocks for two-view, "
+                         "depth-slabs for MVS; auto = shard when >1 "
+                         "device is visible (after joining a cluster via "
+                         "JAX_COORDINATOR/JAX_NUM_PROCESSES/"
+                         "JAX_PROCESS_ID)")
+    sp.add_argument("--save-npz", metavar="FILE",
+                    help="also write the raw depth maps (npz: depths "
+                         "[V, H, W] + cam_ids)")
     sp.add_argument("--resume", action="store_true",
                     help="checkpoint each view's depth map under "
                          "<output>/checkpoint/ and skip views already "

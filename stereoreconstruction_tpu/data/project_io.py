@@ -313,6 +313,17 @@ def save_project(proj: ProjectData, path: str) -> None:
                 for i, attr in enumerate(names):
                     if abs(cam.dist[i]) > 1e-10:
                         ld.set(attr, _fmt(cam.dist[i]))
+            # refractiveInterface before response: project.xsd's sequence
+            # puts response last.  (The reference's own writer emits
+            # response first, project.cpp:385-413, violating its XSD — the
+            # loader therefore accepts either order, see data/schema.py.)
+            if (abs(cam.refr_index - 1.0) > 1e-10
+                    and abs(cam.refr_dist) > 1e-10):
+                refr = ET.SubElement(cam_el, "refractiveInterface")
+                refr.set("px", _fmt(cam.refr_px))
+                refr.set("py", _fmt(cam.refr_py))
+                refr.set("dist", _fmt(cam.refr_dist))
+                refr.set("refractiveRatio", _fmt(cam.refr_index))
             if cam.response is not None:
                 for ch, chname in enumerate(("red", "green", "blue")):
                     if np.any(np.abs(cam.response[:, ch]) > 1e-10):
@@ -321,13 +332,6 @@ def save_project(proj: ProjectData, path: str) -> None:
                         for v in cam.response[:, ch]:
                             val_el = ET.SubElement(resp_el, "value")
                             val_el.text = _fmt(v)
-            if (abs(cam.refr_index - 1.0) > 1e-10
-                    and abs(cam.refr_dist) > 1e-10):
-                refr = ET.SubElement(cam_el, "refractiveInterface")
-                refr.set("px", _fmt(cam.refr_px))
-                refr.set("py", _fmt(cam.refr_py))
-                refr.set("dist", _fmt(cam.refr_dist))
-                refr.set("refractiveRatio", _fmt(cam.refr_index))
 
     if proj.image_sets:
         sets_el = ET.SubElement(root, "imageSets")

@@ -24,6 +24,7 @@ Raises :class:`ProjectValidationError` with an element path.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 
@@ -35,12 +36,16 @@ def _err(path, msg):
     raise ProjectValidationError(f"{path}: {msg}")
 
 
+# xsd:double lexical space (XML Schema Part 2 §3.2.5): optional sign,
+# decimal mantissa, optional exponent, or the literals INF/-INF/NaN.
+# Python's float() is looser ('1_0', 'infinity', leading '+nan') so it
+# cannot stand in for the XSD contract.
+_DOUBLE_RE = re.compile(
+    r"^(?:[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|-?INF|NaN)$")
+
+
 def _is_double(v: str) -> bool:
-    try:
-        float(v)
-        return True
-    except (TypeError, ValueError):
-        return False
+    return isinstance(v, str) and bool(_DOUBLE_RE.match(v))
 
 
 def _is_nonneg_int(v: str) -> bool:
@@ -110,6 +115,12 @@ def validate_project_xml(root: ET.Element) -> None:
             camera_ids.add(cid)
 
             n_resp = 0
+            # Camera children are validated as a SET, not the xsd:sequence:
+            # the reference's own writer emits <response> before
+            # <refractiveInterface> (project.cpp:385-413), violating its
+            # project.xsd sequence, so strict ordering would reject real
+            # reference-written projects.  Element types and single
+            # occurrence are still enforced.
             corder = ["projectionMatrix", "lensDistortion",
                       "refractiveInterface", "response"]
             cseen = []
@@ -118,9 +129,6 @@ def validate_project_xml(root: ET.Element) -> None:
                     _err(f"{path}/{sub.tag}", "unexpected element")
                 if sub.tag != "response" and sub.tag in cseen:
                     _err(f"{path}/{sub.tag}", "occurs more than once")
-                if cseen and (corder.index(sub.tag)
-                              < corder.index(cseen[-1])):
-                    _err(f"{path}/{sub.tag}", "out of order")
                 cseen.append(sub.tag)
 
                 if sub.tag == "projectionMatrix":

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .warp import warp_rows_banded, _tri
+from .warp import warp_rows_banded_multi, _tri
 
 _WEPS = 1e-10
 
@@ -67,14 +67,13 @@ def warp_other(gray_oth, mask_oth, x2, y2, valid_xy, *, band: int = 64,
     stacked = jnp.stack([gray_oth,
                          mask_oth.astype(gray_oth.dtype) * 255.0])
 
-    def one(ch):
-        return warp_rows_banded(ch, x2s, y2s, band=band,
-                                row_block=row_block)
-
-    vals, valids = jax.vmap(one)(stacked)
+    # one interpolation-matrix build + one MXU contraction for both
+    # channels (the x-triangle matrix dominates the warp's VPU cost)
+    vals, valid = warp_rows_banded_multi(stacked, x2s, y2s, band=band,
+                                         row_block=row_block)
     warped = vals[0]
     wmask = vals[1] > 254.0
-    wvalid = valids[0] & wmask & valid_xy
+    wvalid = valid & wmask & valid_xy
     return warped, wvalid
 
 

@@ -168,10 +168,20 @@ def pallas_cost_wta(depths, warped_vol, wvalid_vol, gray_ref, left_valid,
     interpret: run under the TPU interpret mode (DMA-emulating) so the
     kernel is testable on the CPU backend.
     """
-    n_depths, h, w = warped_vol.shape
+    n_depths, h_in, w = warped_vol.shape
     size = 2 * radius + 1
-    while h % tile_h:
-        tile_h //= 2
+    # Pad rows up to a tile multiple instead of shrinking the tile: a
+    # 60-row block (rowshard at 8 devices) would otherwise fall to
+    # tile_h=4 and re-read its 2*radius halo rows 3.5x over.  Pad rows
+    # carry zero validity, so they cost bad_ret and are sliced off.
+    h = -(-h_in // tile_h) * tile_h
+    if h != h_in:
+        pad = ((0, 0), (0, h - h_in), (0, 0))
+        warped_vol = jnp.pad(warped_vol, pad)
+        wvalid_vol = jnp.pad(wvalid_vol, pad)
+        gray_ref = jnp.pad(gray_ref, pad[1:])
+        left_valid = jnp.pad(left_valid, pad[1:])
+        weights = jnp.pad(weights, ((0, 0), (0, 0)) + pad[1:])
     n_tiles = h // tile_h
 
     f32 = jnp.float32
@@ -200,9 +210,11 @@ def pallas_cost_wta(depths, warped_vol, wvalid_vol, gray_ref, left_valid,
     # The package enables x64 globally (calibration needs f64); Mosaic
     # rejects 64-bit values, so the kernel traces under disable_x64.
     with jax.enable_x64(False):
-        return _call(kernel, out_shape, n_tiles, n_depths, size, tile_h,
-                     th, wh, w, f32, depths_f, warped_p, wvalid_p, gray_p,
-                     mask_p, weights_f, interpret)
+        min_c, second, best = _call(
+            kernel, out_shape, n_tiles, n_depths, size, tile_h,
+            th, wh, w, f32, depths_f, warped_p, wvalid_p, gray_p,
+            mask_p, weights_f, interpret)
+    return min_c[:h_in], second[:h_in], best[:h_in]
 
 
 def _call(kernel, out_shape, n_tiles, n_depths, size, tile_h, th, wh, w,
@@ -212,7 +224,8 @@ def _call(kernel, out_shape, n_tiles, n_depths, size, tile_h, th, wh, w,
         kernel,
         out_shape=out_shape,
         grid=(n_tiles,),
-        interpret=(pltpu.InterpretParams() if interpret else False),
+        interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
+                   if interpret else False),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[

@@ -42,7 +42,7 @@ _DIRS = ((-1, -1), (0, -1), (1, -1), (-1, 0),
 
 def _weights_kernel(rgb_hbm, out_ref, rgb_buf, drolls, vrolls, sems, *,
                     radius: int, sigma: float, iters: int,
-                    tile_h: int, height: int, width: int, wh: int):
+                    tile_h: int, wh: int):
     size = 2 * radius + 1
     halo = radius + 1
     th = tile_h + 2 * halo                      # window-reachable rows
@@ -52,9 +52,10 @@ def _weights_kernel(rgb_hbm, out_ref, rgb_buf, drolls, vrolls, sems, *,
     i = jax.lax.convert_element_type(pl.program_id(0), jnp.int32)
     row0 = i * i32(tile_h)                      # first center row (global)
 
-    # RGB tile with halo+1 rows (input is pre-padded by halo+1 rows on
-    # top and `halo` lanes on the left).  (Indices as i32: global x64
-    # mode makes literals i64, which Mosaic rejects.)
+    # RGB tile + validity plane (channel 3) with halo+1 rows (input is
+    # pre-padded by halo+1 rows on top and `halo` lanes on the left).
+    # (Indices as i32: global x64 mode makes literals i64, which Mosaic
+    # rejects.)
     dma = pltpu.make_async_copy(
         rgb_hbm.at[:, pl.ds(row0, th2a), :], rgb_buf, sems.at[i32(0)])
     dma.start()
@@ -74,13 +75,12 @@ def _weights_kernel(rgb_hbm, out_ref, rgb_buf, drolls, vrolls, sems, *,
             return x
         return pltpu.roll(x, jnp.int32((-k) % th2a), 0)
 
-    # validity of buffered pixel (r, c) over the (aligned) extended rows:
-    # buffer row r <-> global image row row0 + r - halo - 1.
-    rows_g = (row0 - i32(halo + 1)
-              + jax.lax.broadcasted_iota(i32, (th2a, wh), 0))
-    cols_g = jax.lax.broadcasted_iota(i32, (th2a, wh), 1) - i32(halo)
-    v_ext = ((rows_g >= 0) & (rows_g < height)
-             & (cols_g >= 0) & (cols_g < width)).astype(jnp.float32)
+    # validity of buffered pixel (r, c): channel 3 of the input carries
+    # the (pre-padded, exact — pad rows/lanes are 0) validity plane.  For
+    # a full image this equals the in-image predicate; row-sharded blocks
+    # pass global-row validity so pad rows break chains exactly like
+    # image borders (the pixel_valid path of ops/weights.py).
+    v_ext = rgb_buf[3]
 
     # 8 neighbor color-distance maps over the full aligned buffer,
     # pre-shifted per window column:
@@ -165,13 +165,19 @@ def _weights_kernel(rgb_hbm, out_ref, rgb_buf, drolls, vrolls, sems, *,
                               "interpret"))
 def pallas_geodesic_weights(rgb, radius: int, sigma: float = 50.0,
                             iters: int = 3, tile_h: int = 32,
-                            interpret: bool = False):
-    """Geodesic support weights on TPU: rgb [H, W, 3] -> [S, S, H, W]."""
+                            interpret: bool = False, valid=None):
+    """Geodesic support weights on TPU: rgb [H, W, 3] -> [S, S, H, W].
+
+    ``valid`` ([H, W] bool, optional) overrides the in-image validity
+    plane — the row-sharded engine passes global-row validity so pad rows
+    of a block behave exactly like image borders (parallel/rowshard.py)."""
     size = 2 * radius + 1
     halo = radius + 1
-    h, w = rgb.shape[:2]
-    while h % tile_h:
-        tile_h //= 2
+    h_in, w = rgb.shape[:2]
+    # Pad rows to a tile multiple instead of shrinking the tile (see
+    # pallas_ncc.pallas_cost_wta): pad rows are invalid, so they behave
+    # exactly like the image border and are sliced off the output.
+    h = -(-h_in // tile_h) * tile_h
     n_tiles = h // tile_h
 
     f32 = jnp.float32
@@ -179,13 +185,19 @@ def pallas_geodesic_weights(rgb, radius: int, sigma: float = 50.0,
     th2 = tile_h + 2 * halo + 2
     th2a = -(-th2 // 8) * 8
     h_pad = (n_tiles - 1) * tile_h + th2a
-    rgb_p = jnp.pad(jnp.moveaxis(rgb.astype(f32), -1, 0),
-                    ((0, 0), (halo + 1, h_pad - h - halo - 1),
+    if valid is None:
+        valid_f = jnp.ones((h_in, w), f32)
+    else:
+        valid_f = jnp.asarray(valid).astype(f32)
+    chans = jnp.concatenate(
+        [jnp.moveaxis(rgb.astype(f32), -1, 0), valid_f[None]], axis=0)
+    rgb_p = jnp.pad(chans,
+                    ((0, 0), (halo + 1, h_pad - h_in - halo - 1),
                      (halo, wh - w - halo)))
 
     kernel = functools.partial(
         _weights_kernel, radius=radius, sigma=sigma, iters=iters,
-        tile_h=tile_h, height=h, width=w, wh=wh)
+        tile_h=tile_h, wh=wh)
 
     # The package enables x64 globally (calibration needs f64); Mosaic
     # rejects 64-bit values, so the kernel traces under disable_x64.
@@ -194,7 +206,8 @@ def pallas_geodesic_weights(rgb, radius: int, sigma: float = 50.0,
             kernel,
             out_shape=jax.ShapeDtypeStruct((size * size, h, wh), f32),
             grid=(n_tiles,),
-            interpret=(pltpu.InterpretParams() if interpret else False),
+            interpret=(pltpu.InterpretParams(dma_execution_mode="eager")
+                   if interpret else False),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -202,10 +215,10 @@ def pallas_geodesic_weights(rgb, radius: int, sigma: float = 50.0,
                                    lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((3, th2a, wh), f32),           # rgb tile (+-1)
+                pltpu.VMEM((4, th2a, wh), f32),           # rgb+valid tile
                 pltpu.VMEM((8 * size, th2a, wh), f32),    # shifted dists
                 pltpu.VMEM((size, th2a, wh), f32),        # shifted valid
                 pltpu.SemaphoreType.DMA((1,)),
             ],
         )(rgb_p)
-    return out[:, :, halo:halo + w].reshape(size, size, h, w)
+    return out[:, :h_in, halo:halo + w].reshape(size, size, h_in, w)

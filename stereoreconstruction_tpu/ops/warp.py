@@ -55,23 +55,30 @@ def warp_bilinear_matmul(other, x2, y2, *, compute_dtype=jnp.bfloat16):
     return jnp.where(valid, out, 0.0), valid
 
 
-def warp_rows_banded(other, x2, y2, *, band: int = 64,
-                     row_block: int = 16, compute_dtype=jnp.bfloat16):
-    """Banded variant: processes output rows in blocks, loading only a
-    ``band``-row slab of the source around each block's median y2.
+def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
+                           row_block: int = 16,
+                           compute_dtype=jnp.bfloat16):
+    """Banded multi-channel warp: processes output rows in blocks, loading
+    only a ``band``-row slab of the source around each block's median y2.
 
-    ~Hs/band times cheaper than the full contraction; positions farther than
-    the band from the block median are marked invalid (epipolar maps are
-    spatially smooth, so a generous band loses nothing in practice).
+    others: [C, Hs, Ws] — all channels share ONE interpolation-matrix
+    build and ONE MXU contraction ([P, Ws] @ [Ws, C*band]); the x-triangle
+    matrix is the dominant VPU cost of the warp, so channels are near-free
+    after the first.  ~Hs/band times cheaper than the full contraction;
+    positions farther than the band from the block median are marked
+    invalid (epipolar maps are spatially smooth, so a generous band loses
+    nothing in practice).
+
+    Returns (vals [C, H, W], valid [H, W]).
     """
-    hs, ws = other.shape
+    c, hs, ws = others.shape
     h, w = x2.shape
     band = min(band, hs)
     while h % row_block:
         row_block //= 2
     n_blocks = h // row_block
 
-    other_c = other.astype(compute_dtype)
+    others_c = others.astype(compute_dtype)
     kx = lax.broadcasted_iota(jnp.float32, (1, ws), 1)
     kb = lax.broadcasted_iota(jnp.float32, (1, band), 1)
 
@@ -86,19 +93,29 @@ def warp_rows_banded(other, x2, y2, *, band: int = 64,
         ycen = ysum / ycnt
         y0 = jnp.clip(jnp.round(ycen - band / 2).astype(jnp.int32),
                       0, max(hs - band, 0))
-        slab = lax.dynamic_slice(other_c, (y0, jnp.zeros((), y0.dtype)),
-                                 (band, ws))                   # [band, Ws]
+        z = jnp.zeros((), y0.dtype)
+        slab = lax.dynamic_slice(others_c, (z, y0, z),
+                                 (c, band, ws))                # [C, band, Ws]
 
         trix = _tri(kx - xf[:, None]).astype(compute_dtype)     # [P, Ws]
-        A = jnp.dot(trix, slab.T,
-                    preferred_element_type=jnp.float32)         # [P, band]
+        A = jnp.dot(trix, slab.reshape(c * band, ws).T,
+                    preferred_element_type=jnp.float32)         # [P, C*band]
         triy = _tri(kb - (yf[:, None] - y0.astype(jnp.float32)))
-        out = jnp.sum(A * triy, axis=-1)
+        out = jnp.sum(A.reshape(-1, c, band) * triy[:, None, :], axis=-1)
         in_band = ((yf >= y0) & (yf + 1 < y0 + band))
-        return out, in_band
+        return out, in_band                                    # [P, C], [P]
 
     out, in_band = jax.vmap(block)(x2b, y2b)
-    out = out.reshape(h, w)
+    out = jnp.moveaxis(out.reshape(h, w, c), -1, 0)
     in_band = in_band.reshape(h, w)
     valid = (x2 >= 0) & (y2 >= 0) & (x2 + 1 < ws) & (y2 + 1 < hs) & in_band
     return jnp.where(valid, out, 0.0), valid
+
+
+def warp_rows_banded(other, x2, y2, *, band: int = 64,
+                     row_block: int = 16, compute_dtype=jnp.bfloat16):
+    """Single-channel wrapper over :func:`warp_rows_banded_multi`."""
+    vals, valid = warp_rows_banded_multi(other[None], x2, y2, band=band,
+                                         row_block=row_block,
+                                         compute_dtype=compute_dtype)
+    return vals[0], valid

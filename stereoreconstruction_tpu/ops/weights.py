@@ -217,15 +217,16 @@ def compute_weights(rgb, radius: int, cfg, exact: bool = True,
     """Dispatch on WeightConfig.kind.
 
     On TPU the production (exact=False) geodesic path uses the fused
-    Pallas sweep kernel (ops/pallas_weights.py, ~20x less HBM traffic);
-    the XLA formulation remains the oracle-parity (exact) path, the CPU
-    backend, and the row-sharded blocks (pixel_valid)."""
+    Pallas sweep kernel (ops/pallas_weights.py, ~20x less HBM traffic),
+    including row-sharded blocks (pixel_valid routes into the kernel's
+    validity plane); the XLA formulation remains the oracle-parity
+    (exact) path and the CPU backend."""
     if cfg.kind == "geodesic":
-        if (not exact and pixel_valid is None
-                and jax.default_backend() == "tpu"):
+        if not exact and jax.default_backend() == "tpu":
             from .pallas_weights import pallas_geodesic_weights
             return pallas_geodesic_weights(rgb, radius, cfg.geodesic_sigma,
-                                           cfg.geodesic_iters)
+                                           cfg.geodesic_iters,
+                                           valid=pixel_valid)
         return geodesic_weights(rgb, radius, cfg.geodesic_sigma,
                                 cfg.geodesic_iters, exact=exact,
                                 pixel_valid=pixel_valid)

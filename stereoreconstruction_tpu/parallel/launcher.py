@@ -14,10 +14,13 @@ SPMD collectives over ICI/DCN.  This module is the entry glue:
   axis), rows shard each cost volume spatially (the TPU analog of the
   reference's per-row OpenMP loops, twoviewstereo.cpp:265/436).
 
-Typical pod-slice launch (one command per host):
+Typical pod-slice launch (one command per host; ``cli stereo`` calls
+:func:`initialize_distributed` on entry and routes to the row-sharded /
+depth-sharded engines whenever >1 global device is visible — see
+cli.py cmd_stereo and the ``--shard`` flag):
 
-    python -m stereoreconstruction_tpu.cli stereo ... \
-        JAX_COORDINATOR=host0:1234 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=$i
+    JAX_COORDINATOR=host0:1234 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=$i \
+        python -m stereoreconstruction_tpu.cli stereo ...
 """
 
 from __future__ import annotations

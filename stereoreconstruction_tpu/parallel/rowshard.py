@@ -74,6 +74,7 @@ def twoview_pairs_rowsharded(
         cams_l: Camera, cams_r: Camera, cfg: TwoViewConfig, *,
         cross_check: bool = True,
         enable_refraction: bool = True, enable_distortion: bool = True,
+        method: str = "auto",
         dtype=jnp.float32, return_compiled: bool = False):
     """Cross-checked depth maps for a batch of view pairs, explicitly
     sharded over a ("view", "row") mesh.
@@ -84,7 +85,13 @@ def twoview_pairs_rowsharded(
     ([Pairs, H, W], [Pairs, H, W]) — left then right; with
     ``return_compiled`` also the compiled SPMD executable (for HLO
     cost/communication analysis, scripts/scaling_analysis.py).
+
+    method: "auto" (Pallas fused kernel on TPU, XLA fast path elsewhere),
+    "pallas", or "fast" — each block runs the same backend as the
+    unsharded engine, with global-coordinate validity.
     """
+    from ..stereo.twoview import resolve_method
+    method = resolve_method(method, cfg)
     n_view = mesh.shape["view"]
     n_row = mesh.shape["row"]
     halo = cfg.window_radius + 1
@@ -92,6 +99,9 @@ def twoview_pairs_rowsharded(
     rgbs_l = np.asarray(rgbs_l, np.float32)
     rgbs_r = np.asarray(rgbs_r, np.float32)
     n_pairs, h, w = rgbs_l.shape[:3]
+    if n_pairs % n_view:
+        raise ValueError(
+            f"n_pairs={n_pairs} not divisible by 'view' axis ({n_view})")
     tile = -(-h // n_row)
 
     def prep(rgbs, masks):
@@ -137,7 +147,7 @@ def twoview_pairs_rowsharded(
             rgb_blk.astype(dtype), gray_blk, mask_blk, gray_oth,
             mask_oth_full, cam_ref, cam_oth, cfg,
             enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion, method="fast",
+            enable_distortion=enable_distortion, method=method,
             row0=row0, full_h=h)
         return d[halo:halo + tile]           # trim halo rows
 
@@ -175,7 +185,18 @@ def twoview_pairs_rowsharded(
 
         args = [x[:, 0] for x in (rgb_lb, mask_lb, rgb_rb, mask_rb)]
         full = [rgb_lf, mask_lf, rgb_rf, mask_rf]
-        dl, dr = jax.vmap(one_pair)(*args, *full, cam_l, cam_r)
+        # Python unroll over this device's local pairs (NOT vmap: the
+        # Pallas kernel's manual `.at[d, rows, :]` HBM DMAs don't carry a
+        # vmap batch dim — vmapping it reads out of bounds.  Local pairs
+        # are usually 1; each pair saturates the chip anyway.)
+        n_local = args[0].shape[0]
+        outs = [one_pair(*(x[i] for x in args),
+                         *(f[i] for f in full),
+                         jax.tree.map(lambda x: x[i], cam_l),
+                         jax.tree.map(lambda x: x[i], cam_r))
+                for i in range(n_local)]
+        dl = jnp.stack([o[0] for o in outs])
+        dr = jnp.stack([o[1] for o in outs])
         return dl[:, None], dr[:, None]      # restore the "row" dim
 
     spec_blk = P("view", "row")
@@ -190,6 +211,11 @@ def twoview_pairs_rowsharded(
     args = (rgb_lb, mask_lb, rgb_rb, mask_rb,
             rgb_lf, mask_lf, rgb_rf, mask_rf, cams_l, cams_r)
     compiled = None
+    if return_compiled == "compile_only":
+        # HLO/cost analysis without executing (scaling model runs this
+        # for the Pallas path on >4 virtual CPU devices, where the
+        # interpret-mode kernel's callback DMAs deadlock at run time)
+        return fn.lower(*args).compile()
     if return_compiled:
         compiled = fn.lower(*args).compile()
         dl_b, dr_b = compiled(*args)

@@ -63,3 +63,44 @@ def native_num_threads() -> int:
     lib = load_library()
     lib.oracle_num_threads.restype = ctypes.c_int
     return int(lib.oracle_num_threads())
+
+
+def mvs_depth_maps_native(rgbs, masks, cams, neighbours, cfg,
+                          cross_check: bool = True) -> np.ndarray:
+    """Reference-style CPU MVS depth maps (Campbell 2009; OpenMP rows) —
+    the MVS bench baseline + golden generator.
+
+    rgbs [V, H, W, 3]; masks [V, H, W]; cams: list of geometry.Camera;
+    neighbours: per-view index lists (stereo.multiview.select_neighbours).
+    Returns depths [V, H, W] (INF = masked, -1 = no peak, NaN = failed
+    cross-check — the reference's sentinels).
+    """
+    lib = load_library()
+    fn = lib.mvs_depth_maps_native
+    fn.restype = None
+
+    rgbs = np.ascontiguousarray(rgbs, np.float32)
+    masks = np.ascontiguousarray(masks, np.uint8)
+    v, h, w = rgbs.shape[:3]
+    params = np.ascontiguousarray(
+        np.stack([_camera_params(c) for c in cams]))
+    max_nbr = max((len(n) for n in neighbours), default=1)
+    nbr = np.full((v, max_nbr), -1, np.int32)
+    for i, n in enumerate(neighbours):
+        nbr[i, :len(n)] = n
+    out = np.empty((v, h, w), np.float64)
+
+    c_d = ctypes.c_double
+    c_i = ctypes.c_int
+    fn(rgbs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+       c_i(v), c_i(h), c_i(w),
+       params.ctypes.data_as(ctypes.POINTER(c_d)),
+       nbr.ctypes.data_as(ctypes.POINTER(c_i)), c_i(max_nbr),
+       c_d(cfg.min_depth), c_d(cfg.max_depth), c_i(cfg.num_depth_levels),
+       c_d(cfg.image_scale), c_i(cfg.window_radius),
+       c_d(cfg.weights.geodesic_sigma), c_i(cfg.weights.geodesic_iters),
+       c_d(cfg.ncc_threshold), c_d(cfg.cross_check_threshold),
+       c_i(1 if cross_check else 0),
+       out.ctypes.data_as(ctypes.POINTER(c_d)))
+    return out

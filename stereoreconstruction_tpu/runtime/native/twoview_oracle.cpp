@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <limits>
 #include <vector>
 
@@ -424,6 +425,214 @@ int oracle_num_threads() {
 #else
   return 1;
 #endif
+}
+
+// ---------------------------------------------------------------------------
+// Multi-view stereo oracle (Campbell et al. 2009) — the C++ golden/baseline
+// for the flagship MVS workflow.  Scalar semantics identical to
+// tests/oracle.py::oracle_mvs_oneview / oracle_mvs_cross_check, which are
+// themselves literal ports of multiviewstereo.cpp:524-729:
+//   * pixel() (int-cast) gray lookups, NO mask checks in the cost
+//     (the #if 0 blocks at multiviewstereo.cpp:124-130, 159-165),
+//   * uniform depth sampling (multiviewstereo.cpp:733-736),
+//   * peak iff NCC > threshold; WTA = best peak, ties -> larger depth
+//     (std::sort on (cost, depth) + peaks.back()), -1 when none,
+//   * any-view cross-check, sequential over views, NaN on failure.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// gray of pixel() (int-cast) lookup; false when OOB.
+inline bool pixel_gray(const Image& img, double x, double y, double* out) {
+  int ix = (int)x, iy = (int)y;
+  if (!img.in_bounds(ix, iy)) return false;
+  const float* p = img.rgb + (iy * img.w + ix) * 3;
+  *out = 0.11 * p[0] + 0.59 * p[1] + 0.3 * p[2];
+  return true;
+}
+
+// multiviewstereo.cpp:113-189 via tests/oracle.py::oracle_cost_ncc_mvs.
+double cost_ncc_mvs(const Image& img1, const Image& img2, const double* w,
+                    int radius, int x1, int y1, double x2, double y2) {
+  const int S = 2 * radius + 1;
+  double meanL = 0, meanR = 0, total = 0;
+  for (int row = -radius; row <= radius; ++row)
+    for (int col = -radius; col <= radius; ++col) {
+      double gl, gr;
+      if (!pixel_gray(img1, x1 + col, y1 + row, &gl)) continue;
+      if (!pixel_gray(img2, x2 + col, y2 + row, &gr)) continue;
+      double wt = w[(row + radius) * S + (col + radius)];
+      if (wt > 1e-10) {
+        meanL += wt * gl;
+        meanR += wt * gr;
+        total += wt;
+      }
+    }
+  if (total < 1e-10) return 0.0;
+  meanL /= total;
+  meanR /= total;
+  double s1 = 0, s2 = 0, s3 = 0;
+  for (int row = -radius; row <= radius; ++row)
+    for (int col = -radius; col <= radius; ++col) {
+      double gl, gr;
+      if (!pixel_gray(img1, x1 + col, y1 + row, &gl)) continue;
+      if (!pixel_gray(img2, x2 + col, y2 + row, &gr)) continue;
+      double wt = w[(row + radius) * S + (col + radius)];
+      if (wt > 1e-10) {
+        double a = wt * gl - meanL, b = wt * gr - meanR;
+        s1 += a * b;
+        s2 += a * a;
+        s3 += b * b;
+      }
+    }
+  if (s2 * s3 < 1e-10) return 0.0;
+  return s1 / std::sqrt(s2 * s3);
+}
+
+void principal_ray_of(const Camera& cam, double* normal) {
+  double tcol[3] = {cam.K[2], cam.K[5], cam.K[8]};
+  tcol[0] /= tcol[2];
+  tcol[1] /= tcol[2];
+  tcol[2] = 1.0;
+  double dirv[3];
+  matvec(cam.Kinv, tcol, dirv);
+  normalize3(dirv);
+  matTvec(cam.R, dirv, normal);
+}
+
+}  // namespace
+
+// Initial estimates + optional any-view cross-check for all views.
+// rgbs: [V, h, w, 3]; masks: [V, h, w]; cam_params: [V, 43];
+// nbr: [V, max_nbr] neighbour view indices (-1 = unused slot);
+// out_depth: [V, h, w].
+void mvs_depth_maps_native(
+    const float* rgbs, const uint8_t* masks, int n_views, int h, int w,
+    const double* cam_params, const int* nbr, int max_nbr,
+    double min_depth, double max_depth, int num_depth_levels,
+    double image_scale, int radius, double geo_sigma, int geo_iters,
+    double ncc_threshold, double cross_check_threshold, int do_cross_check,
+    double* out_depth) {
+  std::vector<Camera> cams(n_views);
+  std::vector<Image> imgs(n_views);
+  std::vector<std::array<double, 3>> normals(n_views);
+  for (int v = 0; v < n_views; ++v) {
+    make_camera(cam_params + 43 * v, &cams[v]);
+    imgs[v] = Image{rgbs + (size_t)v * h * w * 3,
+                    masks + (size_t)v * h * w, h, w};
+    principal_ray_of(cams[v], normals[v].data());
+  }
+  const int S = 2 * radius + 1;
+
+  for (int v = 0; v < n_views; ++v) {
+    double* out = out_depth + (size_t)v * h * w;
+    const Image& ref = imgs[v];
+    const Camera& cam = cams[v];
+    const double* normal = normals[v].data();
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int y = 0; y < h; ++y) {
+      std::vector<double> wbuf(S * S);
+      for (int x = 0; x < w; ++x) {
+        out[y * w + x] = INF;  // masked pixels keep the INF init
+        if (!ref.mask[y * w + x]) continue;
+
+        geodesic_weights(ref, x, y, radius, geo_sigma, geo_iters,
+                         wbuf.data());
+        double ro[3], rd[3];
+        unproject(cam, (x + 0.5) / image_scale, (y + 0.5) / image_scale,
+                  ro, rd);
+
+        double best_c = 0.0, best_d = -1.0;  // the (0, -1) default peaks
+        for (int k = 0; k < max_nbr; ++k) {
+          int j = nbr[v * max_nbr + k];
+          if (j < 0) continue;
+          for (int lab = 0; lab < num_depth_levels; ++lab) {
+            double tt = lab / (num_depth_levels - 1.0);  // uniform
+            double depth = min_depth * (1 - tt) + max_depth * tt;
+
+            double pd = dot3(normal, cam.C) + depth;
+            double nd = dot3(normal, rd);
+            if (std::fabs(nd) < 1e-10) continue;
+            double tray = (pd - dot3(normal, ro)) / nd;
+            if (tray < 1e-10) continue;
+            double pt[3] = {ro[0] + tray * rd[0], ro[1] + tray * rd[1],
+                            ro[2] + tray * rd[2]};
+            double px, py;
+            if (!project(cams[j], pt, &px, &py)) continue;
+            double x2 = px * image_scale - 0.5;
+            double y2 = py * image_scale - 0.5;
+            double c = cost_ncc_mvs(ref, imgs[j], wbuf.data(), radius,
+                                    x, y, x2, y2);
+            // peaks.sort(); peaks.back(): max (c, depth) lexicographic
+            if (c > ncc_threshold &&
+                (c > best_c || (c == best_c && depth >= best_d))) {
+              best_c = c;
+              best_d = depth;
+            }
+          }
+        }
+        out[y * w + x] = best_d;
+      }
+    }
+  }
+
+  if (!do_cross_check) return;
+
+  // Sequential over views (later views see earlier invalidations).
+  for (int v = 0; v < n_views; ++v) {
+    double* out = out_depth + (size_t)v * h * w;
+    const Camera& cam = cams[v];
+    const double* na = normals[v].data();
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int y = 0; y < h; ++y) {
+      for (int x = 0; x < w; ++x) {
+        double d = out[y * w + x];
+        if (!std::isfinite(d)) continue;
+        double ro[3], rd[3];
+        unproject(cam, (x + 0.5) / image_scale, (y + 0.5) / image_scale,
+                  ro, rd);
+        double pd = dot3(na, cam.C) + d;
+        double nd = dot3(na, rd);
+        if (std::fabs(nd) < 1e-10) continue;
+        double tray = (pd - dot3(na, ro)) / nd;
+        if (tray < 1e-10) continue;
+        double p1[3] = {ro[0] + tray * rd[0], ro[1] + tray * rd[1],
+                        ro[2] + tray * rd[2]};
+        bool found = false;
+        for (int j = 0; j < n_views && !found; ++j) {
+          if (j == v) continue;
+          double px, py;
+          if (!project(cams[j], p1, &px, &py)) continue;
+          double x2 = px * image_scale;
+          double y2 = py * image_scale;
+          if (!(x2 >= 0 && y2 >= 0 && x2 < w && y2 < h)) continue;
+          double od = out_depth[(size_t)j * h * w + (int)y2 * w + (int)x2];
+          if (!std::isfinite(od)) continue;
+          double r2o[3], r2d[3];
+          unproject(cams[j], (x2 + 0.5) / image_scale,
+                    (y2 + 0.5) / image_scale, r2o, r2d);
+          const double* nb = normals[j].data();
+          double pd2 = dot3(nb, cams[j].C) + od;
+          double nd2 = dot3(nb, r2d);
+          if (std::fabs(nd2) < 1e-10) continue;
+          double tray2 = (pd2 - dot3(nb, r2o)) / nd2;
+          if (tray2 < 1e-10) continue;
+          double p2[3] = {r2o[0] + tray2 * r2d[0], r2o[1] + tray2 * r2d[1],
+                          r2o[2] + tray2 * r2d[2]};
+          double dx = p1[0] - p2[0], dy = p1[1] - p2[1], dz = p1[2] - p2[2];
+          double nrm = std::sqrt(dx * dx + dy * dy + dz * dz);
+          if (std::isfinite(nrm) && nrm < cross_check_threshold) found = true;
+        }
+        if (!found) out[y * w + x] = NaN;
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -56,6 +56,19 @@ def _host_distorted(cam: Camera) -> bool:
     return bool(np.any(np.abs(np.asarray(cam.dist)) > 1e-10))
 
 
+def resolve_method(method: str, cfg: TwoViewConfig = None) -> str:
+    """Resolve method="auto" to the fastest backend for this platform:
+    the fused Pallas NCC/WTA kernel on TPU (BENCH_r02: 4.89 vs 2.68
+    views/s for the XLA fast path), the XLA fast path elsewhere (the
+    kernel only runs under the slow interpret mode off-TPU).  SAD cost
+    has no Pallas kernel."""
+    if method != "auto":
+        return method
+    if cfg is not None and cfg.cost == "sad":
+        return "fast"
+    return "pallas" if jax.default_backend() == "tpu" else "fast"
+
+
 def _wta_scan(cost_fn, depths, init_shape, dtype):
     """Sequential WTA over depth labels with reference tie/second-best
     semantics."""
@@ -76,12 +89,24 @@ def _wta_scan(cost_fn, depths, init_shape, dtype):
     return min_cost, second, best
 
 
+class _ViewSetup(NamedTuple):
+    """Per-view geometry/validity shared between the cost closure and the
+    Pallas warp loop."""
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    normal: jnp.ndarray
+    center: jnp.ndarray
+    inb: jnp.ndarray        # [H, W] sample() validity (global coords)
+    mask_ref: jnp.ndarray   # mask restricted to in-image (global) rows
+
+
 def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
                    cam_ref: Camera, cam_oth: Camera, cfg: TwoViewConfig,
                    *, enable_refraction, enable_distortion, method,
                    row0=0, full_h=None):
-    """Shared per-view setup: returns ``(cost_at, depths, weights)`` where
-    ``cost_at(d_idx) -> (cost [H, W], depth_plane [H, W])``.
+    """Shared per-view setup: returns ``(cost_at, depths, weights, aux)``
+    where ``cost_at(d_idx) -> (cost [H, W], depth_plane [H, W])`` and
+    ``aux`` is a ``_ViewSetup``.
 
     Reused by the WTA scan, the MRF volume build, the Pallas warp loop and
     the row/depth-sharded engines (parallel/).
@@ -91,7 +116,8 @@ def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
     weights and sample-validity are computed against global coordinates so
     block results equal the unsharded ones; pad rows (outside [0, full_h))
     behave exactly like image borders.  row0 may be traced; requires
-    method="fast" (blocks of the exact path are not supported).
+    method "fast" or "pallas" (blocks of the exact path are not
+    supported).
     """
     from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
 
@@ -103,9 +129,9 @@ def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
         pixel_valid = None
         inb = None
     else:
-        if method != "fast" or cfg.cost == "sad":
+        if method not in ("fast", "pallas") or cfg.cost == "sad":
             raise NotImplementedError(
-                "row-sharded blocks support method='fast' NCC only")
+                "row-sharded blocks support fast/pallas NCC only")
         rows_g = row0 + jnp.arange(h)
         in_rows = (rows_g >= 0) & (rows_g < full_h)
         pixel_valid = jnp.broadcast_to(in_rows[:, None], (h, w))
@@ -135,6 +161,12 @@ def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
     normal = pr_dir.astype(dtype)
     center = cam_ref.C.astype(dtype)
 
+    if inb is None:
+        inb = jnp.ones((h, w), bool).at[-1, :].set(False).at[:, -1].set(
+            False)
+    aux = _ViewSetup(ray_o=ray_o, ray_d=ray_d, normal=normal,
+                     center=center, inb=inb, mask_ref=mask_ref)
+
     def cost_at(d_idx):
         depth = depths[d_idx]
         pts, pvalid = point_from_depth(ray_o, ray_d, center, normal, depth)
@@ -162,7 +194,7 @@ def _build_cost_fn(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
                 max_color_diff=cfg.max_color_diff, bad_ret=cfg.bad_ret)
         return cost, jnp.full((h, w), depth, dtype)
 
-    return cost_at, depths, weights
+    return cost_at, depths, weights, aux
 
 
 @functools.partial(
@@ -179,7 +211,7 @@ def twoview_cost_volume(rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth,
     labels [D]) — the tensor the reference's USE_MRF path feeds to graph-cut
     (twoviewstereo.cpp:335-403).  For WTA use compute_depth_map_oneview,
     which streams planes through a scan instead."""
-    cost_at, depths, _ = _build_cost_fn(
+    cost_at, depths, _, _ = _build_cost_fn(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth, cam_ref, cam_oth,
         cfg, enable_refraction=enable_refraction,
         enable_distortion=enable_distortion, method=method)
@@ -225,33 +257,25 @@ def compute_depth_map_oneview(
     h, w = gray_ref.shape
     radius = cfg.window_radius
 
-    if full_h is not None and (use_mrf or method != "fast"):
+    if full_h is not None and (use_mrf or method not in ("fast",
+                                                         "pallas")):
         raise NotImplementedError(
-            "row blocks support the fast WTA path only")
+            "row blocks support the fast/pallas WTA paths only")
 
-    cost_at, depths, weights = _build_cost_fn(
+    cost_at, depths, weights, aux = _build_cost_fn(
         rgb_ref, gray_ref, mask_ref, gray_oth, mask_oth, cam_ref, cam_oth,
         cfg, enable_refraction=enable_refraction,
         enable_distortion=enable_distortion, method=method,
         row0=row0, full_h=full_h)
-    if full_h is not None:
-        rows_g = row0 + jnp.arange(h)
-        mask_ref = mask_ref & ((rows_g >= 0) & (rows_g < full_h))[:, None]
+    mask_ref = aux.mask_ref        # restricted to in-image (global) rows
 
     if method == "pallas" and cfg.cost != "sad":
-        ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
-                                  enable_refraction=enable_refraction,
-                                  enable_distortion=enable_distortion,
-                                  dtype=dtype)
-        _, pr_dir = principal_ray(cam_ref)
-        normal = pr_dir.astype(dtype)
-        center = cam_ref.C.astype(dtype)
         from ..ops.pallas_ncc import pallas_cost_wta
 
         def warp_at(_, d_idx):
             depth = depths[d_idx]
-            pts, pvalid = point_from_depth(ray_o, ray_d, center, normal,
-                                           depth)
+            pts, pvalid = point_from_depth(aux.ray_o, aux.ray_d,
+                                           aux.center, aux.normal, depth)
             xy, mvalid = match_points(
                 cam_oth, pts, pvalid, cfg.image_scale,
                 enable_refraction=enable_refraction,
@@ -261,13 +285,11 @@ def compute_depth_map_oneview(
 
         _, (warp_vol, wv_vol) = lax.scan(
             warp_at, (), jnp.arange(cfg.num_depth_levels))
-        inb = jnp.ones((h, w), bool).at[-1, :].set(False).at[:, -1].set(
-            False)
         # On non-TPU backends (tests on the virtual CPU mesh) the kernel
         # runs under the DMA-emulating TPU interpret mode.
         min_cost, second, best = pallas_cost_wta(
-            depths, warp_vol, wv_vol, gray_ref, mask_ref & inb, weights,
-            radius=radius, max_color_diff=cfg.max_color_diff,
+            depths, warp_vol, wv_vol, gray_ref, mask_ref & aux.inb,
+            weights, radius=radius, max_color_diff=cfg.max_color_diff,
             bad_ret=cfg.bad_ret,
             interpret=jax.default_backend() != "tpu")
         best = jnp.where(min_cost > cfg.second_best_factor * second,
@@ -389,7 +411,7 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
                        cross_check: bool = True,
                        enable_refraction: bool = True,
                        enable_distortion: bool = True,
-                       method: str = "fast",
+                       method: str = "auto",
                        use_mrf: bool = False,
                        dtype=jnp.float32) -> TwoViewResult:
     """Full TwoViewStereo::computeDepthMaps flow (both views + cross-check).
@@ -403,6 +425,7 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     the reference's truncated-linear smoothness instead of WTA (the
     USE_MRF graph-cut path, twoviewstereo.cpp:335-403).
     """
+    method = resolve_method(method, cfg)
     rgb_l = jnp.asarray(rgb_l, dtype)
     rgb_r = jnp.asarray(rgb_r, dtype)
     mask_l = jnp.asarray(mask_l, bool)

@@ -19,6 +19,13 @@ import jax
 # JAX_PLATFORMS; the config update below wins over it.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: interpret-mode Pallas lowerings compile into
+# large XLA:CPU graphs (minutes); repeated suite runs amortize them.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 import pytest
 

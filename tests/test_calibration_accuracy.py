@@ -87,4 +87,7 @@ def test_own_calibration_reaches_shipped_band(fixture):
     calib = CameraCalibration(pts_sub, sizes, cfg)
     res = calib.calibrate()
     assert np.isfinite(res.error)
-    assert res.error < 1.0, f"own calibration inlier mean {res.error} px"
+    # this reduced-budget run measures 0.498 px (deterministic, seeded
+    # RANSAC); bound tightened from 1.0 per VERDICT r2 item 9 with a
+    # small margin for cross-platform fp drift
+    assert res.error < 0.55, f"own calibration inlier mean {res.error} px"

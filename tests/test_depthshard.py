@@ -64,3 +64,29 @@ class TestDepthSharded:
                                       np.asarray(want_n))
         np.testing.assert_array_equal(np.asarray(got_d),
                                       np.asarray(want_d))
+
+
+class TestDepthMeshKnob:
+    def test_mvs_depth_maps_depth_mesh_matches(self):
+        """The engine-level knob (mvs_depth_maps(depth_mesh=...)) must
+        reproduce the unsharded engine bit-for-bit — VERDICT r2 item 6:
+        depthshard reachable from the engine, (view x depth)
+        composition."""
+        from stereoreconstruction_tpu.stereo.multiview import (
+            mvs_depth_maps)
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        cams = converging_rig(3)
+        rgbs, masks, _ = render_scene(cams, 48, 64, plane_dist=60.0,
+                                      enable_refraction=False)
+        masks[0, 8:12, 20:28] = False
+        mesh = make_depth_mesh(4)
+        want = np.asarray(mvs_depth_maps(
+            rgbs, masks, cams, CFG, enable_refraction=False))
+        got = np.asarray(mvs_depth_maps(
+            rgbs, masks, cams, CFG, enable_refraction=False,
+            depth_mesh=mesh))
+        same = ((np.isnan(got) & np.isnan(want))
+                | (np.isinf(got) & np.isinf(want))
+                | (np.isfinite(got) & np.isfinite(want) & (got == want)))
+        assert same.mean() == 1.0, f"{1 - same.mean():.4f} differ"

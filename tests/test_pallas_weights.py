@@ -17,6 +17,10 @@ from stereoreconstruction_tpu.ops.pallas_weights import (
 @pytest.mark.parametrize("shape,radius,tile_h", [
     ((16, 20, 3), 2, 8),
     ((24, 130, 3), 2, 8),   # non-128 width, lane padding + wrap masking
+    # radius>2 is validated on REAL TPU by scripts/check_radius5_parity.py
+    # each round: the interpret-mode sweep's cost explodes nonlinearly in
+    # the window size on the CPU backend (radius 3 alone runs >10 min on
+    # this 2-core host; radius 5 needs tens of GB) — unaffordable in CI
 ])
 def test_matches_xla_fast_weights(rng, shape, radius, tile_h):
     rgb = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
@@ -24,3 +28,23 @@ def test_matches_xla_fast_weights(rng, shape, radius, tile_h):
     got = np.asarray(pallas_geodesic_weights(
         rgb, radius, tile_h=tile_h, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_valid_plane_blocks_match_full(rng):
+    """Kernel validity plane == XLA pixel_valid semantics: a mid-image
+    block with global-row validity must reproduce the full image's weight
+    values on its interior rows (the row-sharded contract)."""
+    h, w, radius = 32, 20, 2
+    halo = radius + 1
+    rgb = jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32))
+    full = np.asarray(pallas_geodesic_weights(
+        rgb, radius, tile_h=8, interpret=True))
+
+    row0 = 8          # block covers global rows [8, 24) + halo context
+    bh = 16 + 2 * halo
+    blk = rgb[row0 - halo:row0 - halo + bh]
+    valid = jnp.ones((bh, w), bool)   # all rows in-image here
+    got = np.asarray(pallas_geodesic_weights(
+        blk, radius, tile_h=8, interpret=True, valid=valid))
+    np.testing.assert_allclose(got[:, :, halo:halo + 16],
+                               full[:, :, row0:row0 + 16], atol=2e-5)

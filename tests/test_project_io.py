@@ -97,3 +97,43 @@ class TestFeatureRoundTrip:
         pairs_r, swapped_r = p2.correspondences_for("s1", "c2", "s1", "c1")
         assert pairs_r == [(0, 0), (1, 0)] and swapped_r
         assert p2.image_sets["s1"].images[0].exposure == 31.25
+
+
+class TestResponseInterfaceOrder:
+    def test_roundtrip_with_response_and_interface(self, tmp_path):
+        """A camera with BOTH a response curve and a refractive interface
+        must survive save->load with validation on (ADVICE r2: the writer
+        used to emit <response> before <refractiveInterface>, which the
+        ordered validator rejected)."""
+        proj = ProjectData(path=str(tmp_path / "p.xml"))
+        rec = CameraRecord(
+            id="c1", name="c1",
+            P=np.hstack([np.eye(3), np.zeros((3, 1))]), dist=np.zeros(5))
+        rec.response = np.linspace(0.0, 2.0, 256)[:, None].repeat(3, 1)
+        rec.refr_px, rec.refr_py = 320.0, 240.0
+        rec.refr_dist, rec.refr_index = 10.0, 1.333
+        proj.cameras["c1"] = rec
+        out = str(tmp_path / "p.xml")
+        save_project(proj, out)
+        p2 = load_project(out)     # validation on by default
+        c = p2.cameras["c1"]
+        assert abs(c.refr_index - 1.333) < 1e-12
+        np.testing.assert_allclose(c.response, rec.response, rtol=1e-12)
+
+    def test_reference_writer_order_accepted(self, tmp_path):
+        """The reference's own writer emits response BEFORE
+        refractiveInterface (project.cpp:385-413); the validator must
+        accept that order too."""
+        xml = ("<project><cameras><camera id='c'>"
+               "<projectionMatrix "
+               + " ".join(f"m{r}{c}='1'" for r in range(1, 4)
+                          for c in range(1, 5))
+               + "/><response channel='red'>"
+               + "<value>1</value>" * 256 + "</response>"
+               "<refractiveInterface px='1' py='1' dist='5' "
+               "refractiveRatio='1.3'/>"
+               "</camera></cameras></project>")
+        f = tmp_path / "ref_order.xml"
+        f.write_text(xml)
+        p = load_project(str(f))
+        assert abs(p.cameras["c"].refr_index - 1.3) < 1e-12
