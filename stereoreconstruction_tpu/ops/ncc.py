@@ -138,6 +138,21 @@ def twoview_cost_plane(gray_ref, left_vals, left_valid, left_mask,
                 mask_oth.astype(dtype), iy0 - radius, ix0 - radius, size)
             rv = rv & (jnp.moveaxis(mask_patches, (2, 3), (0, 1)) > 0.5)
 
+    return ncc_accumulate(left_vals, lv, weights, gr, rv, valid_xy,
+                          mvs_mode=mvs_mode,
+                          max_color_diff=max_color_diff, bad_ret=bad_ret)
+
+
+def ncc_accumulate(left_vals, lv, weights, gr, rv, valid_xy, *,
+                   mvs_mode: bool, max_color_diff: float = 120.0,
+                   bad_ret: float = 1000.0):
+    """Seven-accumulator weighted-NCC epilogue over the tap axes.
+
+    left_vals/lv/weights/gr/rv: [S, S, H, W] (lv already includes any
+    mask term).  Shared by the gather-based cost planes above and the
+    warp-tap formulation (ops/warp.warp_taps_nearest) of the MVS fast
+    path."""
+    dtype = left_vals.dtype
     m = (lv & rv & (weights > _WEPS)).astype(dtype)
     wl = weights * left_vals
     wr = weights * gr

@@ -55,12 +55,18 @@ def make_ref_view(gray_ref, mask_ref, weights, radius: int,
 
 
 def warp_other(gray_oth, mask_oth, x2, y2, valid_xy, *, band: int = 64,
-               row_block: int = 16):
+               row_block: int = 16, sampling: str = "bilinear"):
     """Warp the other view's gray + mask onto the reference grid.
 
     Returns (warped [H, W], wvalid [H, W] bool).
-    The mask is warped bilinearly and thresholded at ~1 (a tap near a masked
-    pixel is rejected, mirroring the reference's integer mask lookups).
+    The mask is warped with the same kernel and thresholded at ~1 (a tap
+    near a masked pixel is rejected, mirroring the reference's integer
+    mask lookups).
+
+    sampling: "bilinear" = VectorImage::sample (two-view cost) in bf16
+    (MXU); "nearest" = VectorImage::pixel int-cast (MVS cost,
+    multiviewstereo.cpp:113-189) in f32 — the 0/1 box matrix copies exact
+    source values, keeping NCC peaks' 0.95-threshold behavior faithful.
     """
     x2s = jnp.where(valid_xy, x2, -1e6)
     y2s = jnp.where(valid_xy, y2, -1e6)
@@ -69,8 +75,11 @@ def warp_other(gray_oth, mask_oth, x2, y2, valid_xy, *, band: int = 64,
 
     # one interpolation-matrix build + one MXU contraction for both
     # channels (the x-triangle matrix dominates the warp's VPU cost)
-    vals, valid = warp_rows_banded_multi(stacked, x2s, y2s, band=band,
-                                         row_block=row_block)
+    vals, valid = warp_rows_banded_multi(
+        stacked, x2s, y2s, band=band, row_block=row_block,
+        sampling=sampling,
+        compute_dtype=(jnp.bfloat16 if sampling == "bilinear"
+                       else jnp.float32))
     warped = vals[0]
     wmask = vals[1] > 254.0
     wvalid = valid & wmask & valid_xy

@@ -55,9 +55,16 @@ def warp_bilinear_matmul(other, x2, y2, *, compute_dtype=jnp.bfloat16):
     return jnp.where(valid, out, 0.0), valid
 
 
+def _box(diff):
+    """Nearest-neighbour (int-cast floor) kernel: 1 iff 0 <= d < 1 for
+    d = x - kx, i.e. kx == floor(x)."""
+    return ((diff >= 0.0) & (diff < 1.0)).astype(jnp.float32)
+
+
 def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
                            row_block: int = 16,
-                           compute_dtype=jnp.bfloat16):
+                           compute_dtype=jnp.bfloat16,
+                           sampling: str = "bilinear"):
     """Banded multi-channel warp: processes output rows in blocks, loading
     only a ``band``-row slab of the source around each block's median y2.
 
@@ -69,6 +76,11 @@ def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
     invalid (epipolar maps are spatially smooth, so a generous band loses
     nothing in practice).
 
+    sampling: "bilinear" (VectorImage::sample semantics — the two-view
+    cost, twoviewstereo.cpp:909-977) or "nearest" (VectorImage::pixel
+    int-cast semantics — the MVS cost, multiviewstereo.cpp:113-189),
+    realized as a box kernel in the same contraction.
+
     Returns (vals [C, H, W], valid [H, W]).
     """
     c, hs, ws = others.shape
@@ -77,6 +89,7 @@ def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
     while h % row_block:
         row_block //= 2
     n_blocks = h // row_block
+    kern = _tri if sampling == "bilinear" else _box
 
     others_c = others.astype(compute_dtype)
     kx = lax.broadcasted_iota(jnp.float32, (1, ws), 1)
@@ -86,8 +99,12 @@ def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
     y2b = y2.reshape(n_blocks, row_block * w)
 
     def block(xf, yf):
-        # dynamic band start from the block's median-ish center
-        finite = jnp.isfinite(yf)
+        # dynamic band start from the block's median-ish center; only
+        # plausible rows vote — near-plane projections (w ~ 0) produce
+        # huge finite coords that would poison the mean and park the
+        # band nowhere (their own lookups are OOB-invalid regardless,
+        # mirroring the reference's failed pixel()/sample() taps)
+        finite = jnp.isfinite(yf) & (yf > -2.0 * hs) & (yf < 3.0 * hs)
         ysum = jnp.sum(jnp.where(finite, yf, 0.0))
         ycnt = jnp.maximum(jnp.sum(finite.astype(jnp.float32)), 1.0)
         ycen = ysum / ycnt
@@ -97,10 +114,10 @@ def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
         slab = lax.dynamic_slice(others_c, (z, y0, z),
                                  (c, band, ws))                # [C, band, Ws]
 
-        trix = _tri(kx - xf[:, None]).astype(compute_dtype)     # [P, Ws]
+        trix = kern(xf[:, None] - kx).astype(compute_dtype)     # [P, Ws]
         A = jnp.dot(trix, slab.reshape(c * band, ws).T,
                     preferred_element_type=jnp.float32)         # [P, C*band]
-        triy = _tri(kb - (yf[:, None] - y0.astype(jnp.float32)))
+        triy = kern((yf[:, None] - y0.astype(jnp.float32)) - kb)
         out = jnp.sum(A.reshape(-1, c, band) * triy[:, None, :], axis=-1)
         in_band = ((yf >= y0) & (yf + 1 < y0 + band))
         return out, in_band                                    # [P, C], [P]
@@ -108,7 +125,13 @@ def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
     out, in_band = jax.vmap(block)(x2b, y2b)
     out = jnp.moveaxis(out.reshape(h, w, c), -1, 0)
     in_band = in_band.reshape(h, w)
-    valid = (x2 >= 0) & (y2 >= 0) & (x2 + 1 < ws) & (y2 + 1 < hs) & in_band
+    if sampling == "bilinear":
+        # VectorImage::sample validity (x >= 0, y >= 0, x+1 < w, y+1 < h)
+        valid = ((x2 >= 0) & (y2 >= 0) & (x2 + 1 < ws) & (y2 + 1 < hs)
+                 & in_band)
+    else:
+        # VectorImage::pixel validity (int-cast in bounds)
+        valid = (x2 >= 0) & (y2 >= 0) & (x2 < ws) & (y2 < hs) & in_band
     return jnp.where(valid, out, 0.0), valid
 
 
@@ -119,3 +142,65 @@ def warp_rows_banded(other, x2, y2, *, band: int = 64,
                                          row_block=row_block,
                                          compute_dtype=compute_dtype)
     return vals[0], valid
+
+
+def warp_taps_nearest(img, x2, y2, valid_xy, radius: int, *,
+                      band: int = 64, row_block: int = 16):
+    """OTHER-space integer window taps via multi-channel nearest warp.
+
+    Computes ``tap[r, c](p) = img[int(y2(p)) + r, int(x2(p)) + c]`` for
+    all window offsets r, c in [-radius, radius] — the MVS cost's
+    ``pixel(img2, x2+col, y2+row)`` lookups (multiviewstereo.cpp:151-158)
+    — WITHOUT gathers: for non-negative coords,
+    ``int(y2 + r) == int(y2) + r``, so tap (r, c) equals a nearest-warp
+    of the (r, c)-shifted image at the base (x2, y2); all S*S shifted
+    copies ride ONE interpolation-matrix build and ONE MXU contraction
+    (warp_rows_banded_multi channels).
+
+    Returns (taps [S, S, H, W] f32, tap_valid [S, S, H, W] bool).
+
+    Bases OUTSIDE the image still yield their in-bounds taps: the warp
+    runs against a radius-padded copy at shifted coords, so any window
+    with >= 1 in-bounds tap is served.  The only deviation from the
+    reference's per-tap ``(int)`` casts is the one-pixel strip
+    x2 (or y2) in (-1, 0), where C truncation-toward-zero clamps to
+    pixel 0 but the floor-consistent shift identity lands on -1 (tap
+    invalid here).
+    """
+    size = 2 * radius + 1
+    hs, ws = img.shape
+    h, w = x2.shape
+    x2s = jnp.where(valid_xy, x2 + radius, -1e6)   # padded-image coords
+    y2s = jnp.where(valid_xy, y2 + radius, -1e6)
+
+    # channels: ch[a, b] = padimg[a+r, b+c] for the radius-padded image,
+    # so nearest-warp of ch at (x2+R, y2+R) = img[floor(y2)+r,
+    # floor(x2)+c]
+    padimg = jnp.pad(img.astype(jnp.float32), radius)
+    pad2 = jnp.pad(padimg, radius)
+    hp, wp = padimg.shape
+    chans = jnp.stack([
+        pad2[radius + r: radius + r + hp, radius + c: radius + c + wp]
+        for r in range(-radius, radius + 1)
+        for c in range(-radius, radius + 1)])
+    vals, base_valid = warp_rows_banded_multi(
+        chans, x2s, y2s, band=band, row_block=row_block,
+        sampling="nearest", compute_dtype=jnp.float32)
+    taps = vals.reshape(size, size, h, w)
+
+    # tap (r, c) valid iff floor(y2)+r / floor(x2)+c is in the ORIGINAL
+    # image (these bounds also imply the padded-base bounds) + in-band.
+    # Clamp before the int cast: near-plane projections produce ~1e20
+    # coords whose f32->s32 conversion is target-defined (a wraparound
+    # could validate a garbage tap).
+    ix = jnp.floor(jnp.clip(jnp.where(valid_xy, x2, -1e6),
+                            -1e6, 1e6)).astype(jnp.int32)
+    iy = jnp.floor(jnp.clip(jnp.where(valid_xy, y2, -1e6),
+                            -1e6, 1e6)).astype(jnp.int32)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    ry = iy[None] + offs[:, None, None]          # [S, H, W]
+    cx = ix[None] + offs[:, None, None]
+    tap_valid = (base_valid[None, None]
+                 & ((ry >= 0) & (ry < hs))[:, None]
+                 & ((cx >= 0) & (cx < ws))[None, :])
+    return taps, tap_valid

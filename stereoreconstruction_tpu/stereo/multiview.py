@@ -73,7 +73,8 @@ def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
     neighbour arrays to -inf so every view of a rig can share one compiled
     shape (neighbour counts vary per view, multiviewstereo.cpp:335-360).
     """
-    from ..ops.ncc_fast import make_ref_view, warp_other, fast_cost_plane
+    from ..ops.ncc import ncc_accumulate
+    from ..ops.warp import warp_taps_nearest
 
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
@@ -81,15 +82,17 @@ def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
 
     weights = compute_weights(rgb_ref, radius, cfg.weights,
                               exact=(method == "exact")).astype(dtype)
-    if method == "exact":
-        left_vals, left_valid, left_mask = _left_windows(
-            gray_ref, mask_ref, radius, use_sample=False)
-    else:
-        # pixel() semantics (no sample-rule, no mask checks) for MVS
-        ref_view = make_ref_view(gray_ref, mask_ref, weights, radius)
-        ref_view = ref_view._replace(
-            inb_pad=jnp.pad(jnp.ones((h, w), bool), radius,
-                            constant_values=False))
+    # Both methods use OTHER-space integer-pixel windows (the MVS cost's
+    # pixel() lookups, multiviewstereo.cpp:151-158): "exact" gathers them
+    # (oracle parity, gather-bound on TPU), "fast" computes the identical
+    # taps as S*S nearest warps of shifted images in ONE MXU contraction
+    # (ops/warp.warp_taps_nearest).  A reference-space warped-window
+    # formulation (the two-view fast trick) is NOT usable here: MVS peaks
+    # are NCC > 0.95 cuts, and the window-space change shifts NCC enough
+    # to flip peak sets wholesale (measured: initial-estimate agreement
+    # vs the native golden collapsed to ~0.2).
+    left_vals, left_valid, left_mask = _left_windows(
+        gray_ref, mask_ref, radius, use_sample=False)
 
     ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
                               enable_refraction=enable_refraction,
@@ -118,11 +121,11 @@ def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
                     gray_ref, left_vals, left_valid, left_mask,
                     gray_o, mask_o, weights, xy, mvalid,
                     radius=radius, mvs_mode=True, use_masks=False)
-            warped, wvalid = warp_other(
-                gray_o, jnp.ones(gray_o.shape, bool), xy[..., 0],
-                xy[..., 1], mvalid)
-            return fast_cost_plane(ref_view, warped, wvalid,
-                                   mvs_mode=True, use_masks=False)
+            taps, tap_valid = warp_taps_nearest(
+                gray_o, xy[..., 0], xy[..., 1], mvalid, radius)
+            return ncc_accumulate(left_vals, left_valid, weights,
+                                  taps.astype(dtype), tap_valid, mvalid,
+                                  mvs_mode=True)
 
         ncc = jax.vmap(one_nbr)(grays_nbr, masks_nbr, cams_nbr)
         if nbr_valid is not None:

@@ -392,6 +392,61 @@ def cross_check_direction(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("enable_refraction", "enable_distortion"))
+def cross_check_classify(depth_a, depth_b, cam_a: Camera, cam_b: Camera,
+                         image_scale, thresh, *,
+                         enable_refraction=True, enable_distortion=True):
+    """Three-way audit of ``depth_a`` pixels against an independently
+    computed ``depth_b``: returns bool maps ``(corroborated, checkable)``.
+
+    checkable — the pixel has a usable depth, its 3D point projects into
+    view b onto a pixel where depth_b has a usable value;
+    corroborated — checkable AND the two 3D points agree within
+    ``thresh`` (the crossCheck metric, twoviewstereo.cpp:596-672, without
+    its failure ladder: un-projectable/uncovered pixels are *unverifiable*
+    here, not rejected).  Used by bench.py to audit the accuracy of
+    survivors the production path keeps but a golden's cross-check drops.
+    """
+    dtype = depth_a.dtype
+    h, w = depth_a.shape
+    hb, wb = depth_b.shape
+    ray_o, ray_d = pixel_rays(cam_a, h, w, image_scale,
+                              enable_refraction=enable_refraction,
+                              enable_distortion=enable_distortion,
+                              dtype=dtype)
+    _, na = principal_ray(cam_a)
+    _, nb = principal_ray(cam_b)
+
+    usable = jnp.isfinite(depth_a) & (depth_a >= 0)
+    depth_safe = jnp.where(usable, depth_a, 1.0)
+    p1, v1 = point_from_depth(ray_o, ray_d, cam_a.C.astype(dtype),
+                              na.astype(dtype), depth_safe)
+    xy_full, vproj = project(cam_b, p1, enable_refraction=enable_refraction,
+                             enable_distortion=enable_distortion,
+                             quartic_iters=30)
+    x2 = xy_full[..., 0] * image_scale
+    y2 = xy_full[..., 1] * image_scale
+    contains = (x2 >= 0) & (y2 >= 0) & (x2 < wb) & (y2 < hb)
+    ixc = jnp.clip(jnp.trunc(x2).astype(jnp.int32), 0, wb - 1)
+    iyc = jnp.clip(jnp.trunc(y2).astype(jnp.int32), 0, hb - 1)
+    odepth = depth_b[iyc, ixc]
+    ousable = jnp.isfinite(odepth) & (odepth >= 0)
+    od_safe = jnp.where(ousable, odepth, 1.0)
+    oxy = jnp.stack([(x2 + 0.5) / image_scale,
+                     (y2 + 0.5) / image_scale], axis=-1)
+    r2o, r2d = unproject(cam_b, oxy,
+                         enable_refraction=enable_refraction,
+                         enable_distortion=enable_distortion)
+    p2, v2 = point_from_depth(r2o, r2d, cam_b.C.astype(dtype),
+                              nb.astype(dtype), od_safe)
+    norm = jnp.linalg.norm(p1 - p2, axis=-1)
+    checkable = usable & v1 & vproj & contains & ousable & v2
+    corroborated = checkable & jnp.isfinite(norm) & (norm <= thresh)
+    return corroborated, checkable
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "enable_refraction", "enable_distortion"))
 def cross_check_pair(depth_l, depth_r, cam_l, cam_r, cfg: TwoViewConfig,
                      **kw):
