@@ -6,9 +6,22 @@ unaffordable under the CPU interpreter (tens of GB, >30 min), so this
 script runs the same checks on the real chip each round and prints a
 JSON verdict (recorded in PARITY.md):
 
-  * pallas_geodesic_weights(radius=5)  vs XLA geodesic_weights(exact=False)
+  * pallas_geodesic_weights(radius=5)  vs the NATIVE f64 oracle
+    (runtime/native geodesic_weights_image — the literal
+    geodesicweight.cpp:59-135 port).  The XLA formulation is checked
+    against the same oracle; comparing the two f32 TPU paths against
+    each other (the pre-round-4 version of this script) conflated
+    their independent f32 rounding orders — and hid that the XLA path
+    itself was wrong on TPU until round 4 (window_patches im2col conv
+    ran the MXU at default bf16 precision, snapping values to the bf16
+    grid: 1.2e-3 weight error attributed to the WRONG side).
   * compute_depth_map_oneview(pallas)  vs fast — identical WTA picks (the
     kernel reproduces the fast path's f32 accumulation order bit-for-bit)
+
+Weight tolerance 2e-5: both TPU paths are f32; the native oracle is f64.
+Measured f32-rounding floor ~3e-6 (pallas) / ~8e-6 (XLA) on random
+probes; 2e-5 leaves 2x headroom while sitting 50x below the bf16
+corruption this check exists to catch.
 """
 
 import json
@@ -33,6 +46,8 @@ def main():
     from stereoreconstruction_tpu.ops.weights import geodesic_weights
     from stereoreconstruction_tpu.ops.pallas_weights import (
         pallas_geodesic_weights)
+    from stereoreconstruction_tpu.runtime.native import (
+        geodesic_weights_native)
     from stereoreconstruction_tpu.stereo.twoview import compute_depth_maps
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
@@ -42,13 +57,17 @@ def main():
     out = {"radius": 5}
     rng = np.random.default_rng(0)
 
-    # --- weights kernel vs XLA formulation (f32 clamp semantics) ---
-    rgb = jnp.asarray(rng.uniform(0, 255, (96, 130, 3)).astype(np.float32))
-    want = np.asarray(geodesic_weights(rgb, 5, exact=False))
-    got = np.asarray(pallas_geodesic_weights(rgb, 5))
-    werr = float(np.max(np.abs(got - want)))
-    out["weights_max_abs_err"] = werr
-    out["weights_ok"] = bool(werr < 2e-5)
+    # --- weight kernels vs the native f64 oracle ---
+    rgb_np = rng.uniform(0, 255, (96, 130, 3)).astype(np.float32)
+    rgb = jnp.asarray(rgb_np)
+    want = geodesic_weights_native(rgb_np, 5)
+    got_pallas = np.asarray(pallas_geodesic_weights(rgb, 5))
+    got_xla = np.asarray(geodesic_weights(rgb, 5, exact=False))
+    perr = float(np.max(np.abs(got_pallas - want)))
+    xerr = float(np.max(np.abs(got_xla - want)))
+    out["weights_max_abs_err"] = perr
+    out["weights_xla_max_abs_err"] = xerr
+    out["weights_ok"] = bool(perr < 2e-5 and xerr < 2e-5)
 
     # --- NCC/WTA kernel vs fast path (bit-level pick agreement) ---
     cfg = TwoViewConfig(window_radius=5, min_depth=45.0, max_depth=80.0,

@@ -63,23 +63,30 @@ def bilinear_sample(img, x, y):
 
 
 def window_patches(img, radius: int, fill=0.0):
-    """All window-shifted copies of an image as one XLA op.
+    """All window-shifted copies of an image as stacked static slices.
 
     Returns ``win[S, S, H, W]`` with ``win[r+R, c+R, y, x] = img[y+r, x+c]``
-    (OOB -> ``fill``), via ``conv_general_dilated_patches`` on a fill-padded
-    image (one im2col op instead of S^2 pad+slice pairs — keeps the HLO graph
-    small and lets XLA tile it).
+    (OOB -> ``fill``).
+
+    Implementation note: this was previously one
+    ``conv_general_dilated_patches`` (im2col) op, but XLA:TPU runs that
+    convolution on the MXU at DEFAULT precision, which truncates the
+    *values* to bfloat16 (measured round 4: gray/distance values snapped
+    to the bf16 grid, e.g. 273.014 -> 274.0 — the root cause of the
+    radius-5 geodesic-weights parity failure and a bias on every NCC
+    window sourced here).  S^2 static slices are pure data movement —
+    bit-exact, no MXU involvement, and XLA fuses the stack into one copy.
     """
-    from jax import lax
     size = 2 * radius + 1
     h, w = img.shape
     dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) \
         else jnp.float32
     padded = jnp.pad(img.astype(dtype), radius, constant_values=fill)
-    patches = lax.conv_general_dilated_patches(
-        padded[None, None], (size, size), window_strides=(1, 1),
-        padding="VALID")          # [1, S*S, H, W]
-    return patches.reshape(size, size, h, w)
+    rows = [
+        jnp.stack([padded[r:r + h, c:c + w] for c in range(size)])
+        for r in range(size)
+    ]
+    return jnp.stack(rows)          # [S, S, H, W]
 
 
 def shifted_windows(img, radius: int, fill=0.0):

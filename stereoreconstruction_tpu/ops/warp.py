@@ -115,8 +115,17 @@ def warp_rows_banded_multi(others, x2, y2, *, band: int = 64,
                                  (c, band, ws))                # [C, band, Ws]
 
         trix = kern(xf[:, None] - kx).astype(compute_dtype)     # [P, Ws]
+        # With f32 operands the MXU still runs at DEFAULT (bf16) precision
+        # unless told otherwise — callers passing compute_dtype=f32 (the
+        # MVS nearest-tap path) need exact values: HIGHEST makes the
+        # one-hot/triangle selection bit-exact in f32 (measured round 4:
+        # default precision bf16-rounds every tap value, flipping MVS
+        # peaks at the razor-thin NCC>0.95 cut).
+        prec = (lax.Precision.HIGHEST if compute_dtype == jnp.float32
+                else lax.Precision.DEFAULT)
         A = jnp.dot(trix, slab.reshape(c * band, ws).T,
-                    preferred_element_type=jnp.float32)         # [P, C*band]
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                             # [P, C*band]
         triy = kern((yf[:, None] - y0.astype(jnp.float32)) - kb)
         out = jnp.sum(A.reshape(-1, c, band) * triy[:, None, :], axis=-1)
         in_band = ((yf >= y0) & (yf + 1 < y0 + band))

@@ -131,22 +131,31 @@ def geodesic_weights(rgb, radius: int, sigma: float = 50.0, iters: int = 3,
         return x
 
     def chain(u, d, reverse):
-        """Closed-form sequential min-plus along the window-column axis."""
+        """Sequential min-plus along the window-column axis, unrolled
+        over the S columns: ``v[t] = min(u[t], v[t_prev] + d[t])``.
+
+        This was a closed form ``v = D + cummin(u - D)`` with
+        ``D = prefix-sum(d)`` until round 4: the big break-edge offsets
+        in D (multiples of the 8192 break cost) made ``u - D`` lose
+        ~2.8e-5 of weight accuracy to f32 cancellation at radius 5, and
+        the accompanying ``window_patches`` im2col conv bf16-rounded the
+        distances themselves (the round-3 parity failure).  The direct
+        recurrence is exact in f32, does strictly less elementwise work
+        (2(S-1) ops vs ~6S), and matches the Pallas kernel's
+        accumulation order (ops/pallas_weights.py row_update).
+        """
         if exact:
             u_c = u.astype(jnp.float64)
             d_c = d.astype(jnp.float64)
         else:
             u_c = jnp.minimum(u, clamp)
             d_c = jnp.minimum(d, brk)
-        zero_row = jnp.zeros((1, h, w), u_c.dtype)
-        if not reverse:
-            dd = jnp.concatenate([zero_row, d_c[1:]], axis=0)
-            D = jnp.cumsum(dd, axis=0)
-        else:
-            dd = jnp.concatenate([d_c[:-1], zero_row], axis=0)
-            D = jnp.cumsum(dd[::-1], axis=0)[::-1]
-        v = D + jax.lax.cummin(u_c - D, axis=0, reverse=reverse)
-        return v.astype(u.dtype)
+        v = list(u_c)
+        order = range(1, size) if not reverse else range(size - 2, -1, -1)
+        for t in order:
+            prev = t - 1 if not reverse else t + 1
+            v[t] = jnp.minimum(v[t], v[prev] + d_c[t])
+        return jnp.stack(v).astype(u.dtype)
 
     def fwd_row(rows, s):
         u = rows[s]

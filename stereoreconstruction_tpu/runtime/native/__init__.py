@@ -2,7 +2,8 @@
 
 from .build import build_native, load_library
 from .bindings import (twoview_depth_map_native, native_num_threads,
-                       mvs_depth_maps_native)
+                       mvs_depth_maps_native, geodesic_weights_native)
 
 __all__ = ["build_native", "load_library", "twoview_depth_map_native",
-           "native_num_threads", "mvs_depth_maps_native"]
+           "native_num_threads", "mvs_depth_maps_native",
+           "geodesic_weights_native"]

@@ -59,6 +59,25 @@ def twoview_depth_map_native(rgb_ref, mask_ref, rgb_oth, mask_oth,
     return out
 
 
+def geodesic_weights_native(rgb, radius: int, sigma: float = 50.0,
+                            iters: int = 3) -> np.ndarray:
+    """Whole-image f64 geodesic support weights — the authoritative
+    oracle for the TPU weight kernels (geodesicweight.cpp:59-135
+    semantics).  rgb [H, W, 3] -> weights [S, S, H, W] f64."""
+    lib = load_library()
+    fn = lib.geodesic_weights_image
+    fn.restype = None
+    rgb = np.ascontiguousarray(rgb, np.float32)
+    h, w = rgb.shape[:2]
+    size = 2 * radius + 1
+    out = np.empty((size * size, h, w), np.float64)
+    fn(rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       ctypes.c_int(h), ctypes.c_int(w), ctypes.c_int(radius),
+       ctypes.c_double(sigma), ctypes.c_int(iters),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out.reshape(size, size, h, w)
+
+
 def native_num_threads() -> int:
     lib = load_library()
     lib.oracle_num_threads.restype = ctypes.c_int

@@ -635,4 +635,28 @@ void mvs_depth_maps_native(
   }
 }
 
+// Whole-image geodesic support weights in f64 — the authoritative oracle
+// for the TPU weight kernels (scripts/check_radius5_parity.py compares
+// both the Pallas sweep kernel and the XLA lockstep formulation against
+// this; geodesicweight.cpp:59-135 semantics via the per-pixel
+// geodesic_weights above).  out layout: [S*S, h, w] with
+// out[(s*S + t), y, x] = weight of window pixel (row offset s-R, col
+// offset t-R) for center (y, x).
+void geodesic_weights_image(const float* rgb, int h, int w, int radius,
+                            double sigma, int iters, double* out) {
+  const int S = 2 * radius + 1;
+  Image img{rgb, nullptr, h, w};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int y = 0; y < h; ++y) {
+    std::vector<double> wbuf(S * S);
+    for (int x = 0; x < w; ++x) {
+      geodesic_weights(img, x, y, radius, sigma, iters, wbuf.data());
+      for (int i = 0; i < S * S; ++i)
+        out[(size_t)i * h * w + (size_t)y * w + x] = wbuf[i];
+    }
+  }
+}
+
 }  // extern "C"
