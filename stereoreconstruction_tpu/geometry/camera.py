@@ -192,20 +192,37 @@ def camera_from_P(P, dist=None, plane_normal=None, plane_dist=0.0,
 # Frame transforms (camera.cpp:346-376)
 # ---------------------------------------------------------------------------
 
+def apply_mat3(M, v):
+    """Exact ``v @ M.T`` for a 3x3 matrix, unrolled on the VPU.
+
+    ``jnp``'s ``@`` lowers even 3-wide contractions to the MXU, which
+    runs f32 inputs at DEFAULT (bfloat16) precision: measured 2e-3
+    relative error on local camera coordinates -> ~0.4 px median match-
+    coordinate noise on the bunny rig (round 4 root cause of the MVS
+    quality-gate failure).  Unrolled elementwise math is bit-exact in
+    the input dtype and skips the 3->128 MXU padding waste entirely.
+    """
+    return jnp.stack(
+        [v[..., 0] * M[0, 0] + v[..., 1] * M[0, 1] + v[..., 2] * M[0, 2],
+         v[..., 0] * M[1, 0] + v[..., 1] * M[1, 1] + v[..., 2] * M[1, 2],
+         v[..., 0] * M[2, 0] + v[..., 1] * M[2, 1] + v[..., 2] * M[2, 2]],
+        axis=-1)
+
+
 def from_global_to_local(cam: Camera, p):
-    return p @ cam.R.T + cam.t
+    return apply_mat3(cam.R, p) + cam.t
 
 
 def from_local_to_global(cam: Camera, p):
-    return (p - cam.t) @ cam.R
+    return apply_mat3(cam.R.T, p - cam.t)
 
 
 def principal_ray(cam: Camera):
     """``updatePrincipleRay`` camera.cpp:292-298: (C, R^T K^-1 (K.col(2)/K22))."""
     tcol = cam.K[:, 2]
-    d = cam.Kinv @ (tcol / tcol[2])
+    d = apply_mat3(cam.Kinv, tcol / tcol[2])
     d = d / jnp.linalg.norm(d)
-    return cam.C, cam.R.T @ d
+    return cam.C, apply_mat3(cam.R.T, d)
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +305,7 @@ def project(cam: Camera, X, *, enable_refraction: bool = True,
         p_local = jnp.where(refr, p_refr, p_local)
         valid = valid & jnp.where(refr, v_refr, True)
 
-    q = p_local @ cam.K.T
+    q = apply_mat3(cam.K, p_local)
     z = q[..., 2]
     z_safe = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
     xy = q[..., :2] / z_safe[..., None]
@@ -311,7 +328,7 @@ def unproject(cam: Camera, xy, *, enable_refraction: bool = True,
         xy = jnp.where(cam.is_distorted, undistort(cam, xy), xy)
 
     ph = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
-    d = ph @ cam.Kinv.T
+    d = apply_mat3(cam.Kinv, ph)
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
     o = jnp.zeros_like(d)
 
@@ -323,6 +340,6 @@ def unproject(cam: Camera, xy, *, enable_refraction: bool = True,
         d = jnp.where(refr, d_r, d)
 
     # fromLocalToGlobal for a ray (camera.cpp:372-376)
-    o_g = (o - cam.t) @ cam.R
-    d_g = d @ cam.R
+    o_g = apply_mat3(cam.R.T, o - cam.t)
+    d_g = apply_mat3(cam.R.T, d)
     return o_g, d_g
