@@ -22,31 +22,63 @@ this machine and cached in BASELINE_MEASURED.json.
 
 Quality gates (all enforced, non-zero exit on failure; measured on a
 CLEAN run — the timing loop perturbs inputs to defeat memoization, so
-gating re-runs on unperturbed inputs):
+gating re-runs on unperturbed inputs).
 
-two-view, vs the cross-checked native golden
-(tests/golden/bunny_native_s05_d100.npz):
-  * common survivors: >=90% within the reference's INCONSISTENCY_THRESH=1
-    (twoviewstereo.cpp:78), median <= 0.5;
-  * coverage bounded BOTH ways: 0.8x <= survivors/golden <= 1.9x
-    (VERDICT r2: the old gate was one-sided);
-  * extra survivors (kept by production, dropped by the golden's
-    cross-check) are compared against the golden's PRE-cross-check depth
-    where it exists: median <= 0.5 and >=70% within 1 — the extra pixels
-    must be *accurate*, not junk;
-  * inlier RMSE (survivor diffs <= 1) <= 0.5.  Full-map RMSE is reported
-    but gated loosely (<= 3.0): the tail is near-tie WTA flips between
-    discretizations (reference curve-pixels vs dense sweep), bounded by
-    the frac/median/extra gates above.
+ROUND-4 GATE RE-ANCHORING (measured justification, as VERDICT r3
+demands for any gate change).  Round 4 removed two sources of silent
+value corruption on real TPU (bf16 default-precision MXU lowering of
+the tiny geometry matmuls and of window_patches' im2col conv) and
+replaced the MVS warp band with the fused patch kernel
+(ops/pallas_mvs.py).  Re-measured on the chip after the fixes:
 
-MVS, vs the native MVS golden (tests/golden/bunny_native_mvs_s05_d100.npz,
-scripts/make_mvs_golden.py): same structure; agreement measured in depth
-labels (uniform step ~0.505), coverage both ways, extra survivors vs the
-golden's pre-cross-check map.
+  * agreement gates TIGHTEN (they were loose to absorb the noise):
+    two-view within-1 0.9921/0.9967 (was ~0.96) -> gate 0.9 -> 0.98;
+    full-map survivor RMSE 0.78/0.30 (was 2.1/2.8) -> gate 3.0 -> 1.5
+    (VERDICT r3 item 5: tail characterized — it WAS the bf16 geometry
+    noise, now gone; docs/twoview_tail.md); inlier RMSE 0.075/0.106 ->
+    gate 0.5 -> 0.2.  MVS within-1 0.993 (was 0.79) -> new gate 0.95;
+    coverage 0.987 (was 0.93 at gates 0.5..2.0) -> 0.9..1.2; inlier
+    RMSE 0.04 -> new gate 0.1; full RMSE (labels) max 1.07 -> gate 1.5.
+  * the flat survivor-corroboration gate (>= 0.85) is replaced by a
+    GOLDEN-SELF anchor: the golden's own post-cross-check maps score
+    0.76..1.0 per view (mean 0.867) on the exact same metric — the
+    quantized depth labels (step ~0.505) sit at the 0.5 cross-check
+    threshold, so even the reference implementation "fails" 4 of 8
+    views against itself.  Gate: production >= golden_self - 0.04 per
+    view (measured production tracks golden_self within ~0.023).
+  * the extra-corroboration gate (>= 0.6) becomes a JUNK-FRACTION gate:
+    extra_frac * extra_checkable * (1 - extra_corroborated) <= 0.06 of
+    survivors.  Rationale: with production ~= golden (extras 6-9%, vs
+    57% in r3), the extra set is exactly the pixels the golden's own
+    maps cannot corroborate (that is why its sequential cross-check
+    dropped them) — the old gate is near-tautologically unpassable as
+    quality IMPROVES.  The junk gate still fails r3's maps (0.244, 4x
+    over) and passes r4's (mean 0.035, worst view 0.050, MVS;
+    0.002/0.004 two-view), and an empty extra set passes (ADVICE r3:
+    zero-checkable edge case).
+  * two-view coverage cap 1.9 -> 3.5 + a new survivor-corroboration
+    gate (>= 0.95; measured 0.989/0.993): with exact geometry the
+    fast path's documented window-space redesign (PARITY.md "known
+    deviations" #2) keeps ~2.5-3x the golden's survivors — previously
+    the geometry noise randomly killed them down to 1.6-1.8x.  The
+    extras corroborate at 0.96 against the independent golden's maps,
+    so the extra coverage is real surface, not junk; the junk +
+    corroboration gates now carry the accuracy burden the cap carried.
+
+Perf regression guard: the headline and MVS views/s are compared
+against the best prior BENCH_r*.json; a >10% drop emits a loud
+"regression_warn" field + stderr warning (not an exit failure: same-
+config wall-clock on this tunneled single chip varies by ~10% between
+sessions — r4 measured 4.35..4.89 views/s for an identical binary).
+
+MFU fields: useful-FLOP model (NCC tap math only, excludes warps/
+weights — a deliberate lower bound) / wall-clock / v5e bf16 peak
+(197 TFLOP/s).  Single-digit numbers are expected and are the point
+(VERDICT r3 item 6): they bound the remaining headroom.
 
 Prints ONE JSON line:
   {"metric": ..., "value": views/s/chip, "unit": "views/s",
-   "vs_baseline": x, ...method/mvs/quality fields}
+   "vs_baseline": x, ...method/mvs/quality/mfu fields}
 """
 
 import json
@@ -101,8 +133,9 @@ def corroborate(mask, got, classify_pairs):
         corr |= np.asarray(c)
         chk |= np.asarray(k)
     n, n_chk = int(mask.sum()), int(chk.sum())
-    return (float(n_chk / max(n, 1)),
-            float(int(corr.sum()) / max(n_chk, 1)))
+    if n_chk == 0:
+        return 0.0, 1.0      # nothing checkable -> vacuously corroborated
+    return float(n_chk / max(n, 1)), float(int(corr.sum()) / n_chk)
 
 
 def extra_stats(got, want_cc, classify_pairs):
@@ -122,37 +155,43 @@ def extra_stats(got, want_cc, classify_pairs):
     extra = g & ~usable(want_cc)
     chk_e, corr_e = corroborate(extra, got, classify_pairs)
     chk_a, corr_a = corroborate(g, got, classify_pairs)
+    extra_frac = float(int(extra.sum()) / max(int(g.sum()), 1))
     return {
-        "extra_survivor_frac": float(int(extra.sum()) / max(int(g.sum()),
-                                                            1)),
+        "extra_survivor_frac": extra_frac,
         "extra_checkable_frac": chk_e,
         "extra_corroborated_frac": corr_e,
+        # checkable-but-uncorroborated extras as a fraction of ALL
+        # survivors — the junk bound (see module docstring)
+        "extra_junk_frac": extra_frac * chk_e * (1.0 - corr_e),
         "survivor_checkable_frac": chk_a,
         "survivor_corroborated_frac": corr_a,
     }
 
 
 def gate_twoview(stats):
-    ok = (stats["survivor_frac_within_1"] >= 0.9
+    # bounds re-anchored round 4 (see module docstring for measurements)
+    ok = (stats["survivor_frac_within_1"] >= 0.98
           and stats["survivor_median_absdiff"] <= 0.5
-          and 0.8 <= stats["coverage_vs_golden"] <= 1.9
-          and stats["survivor_rmse_inliers"] <= 0.5
-          and stats["survivor_rmse"] <= 3.0
-          and stats["extra_corroborated_frac"] >= 0.6)
+          and 0.8 <= stats["coverage_vs_golden"] <= 3.5
+          and stats["survivor_rmse_inliers"] <= 0.2
+          and stats["survivor_rmse"] <= 1.5
+          and stats["survivor_corroborated_frac"] >= 0.95
+          and stats["extra_junk_frac"] <= 0.05)
     return ok
 
 
-def gate_mvs(stats):
-    # depth label step ~0.505; the strict NCC>0.95 peak threshold makes
-    # WTA picks sensitive to sub-quantum cost differences between the
-    # discretizations on near-flat NCC plateaus, so pick-level agreement
-    # gates are looser than two-view; the hard gates are outcome-level:
-    # survivors (and specifically the extras) must corroborate
-    # geometrically against the independent golden's other-view maps
-    ok = (stats["survivor_median_absdiff"] <= 0.51
-          and 0.5 <= stats["coverage_vs_golden"] <= 2.0
-          and stats["survivor_corroborated_frac"] >= 0.85
-          and stats["extra_corroborated_frac"] >= 0.6)
+def gate_mvs(stats, golden_self_corr):
+    # re-anchored round 4: agreement gates tightened 5-10x, the flat
+    # corroboration bar replaced by the golden-self anchor (the golden
+    # itself scores 0.76..1.0 on it), extras gated by junk fraction
+    # (see module docstring for the measurements + rationale)
+    ok = (stats["survivor_frac_within_1"] >= 0.95
+          and stats["survivor_median_absdiff"] <= 0.51
+          and 0.9 <= stats["coverage_vs_golden"] <= 1.2
+          and stats["survivor_rmse_inliers"] <= 0.1
+          and stats["survivor_rmse"] <= 1.5
+          and stats["survivor_corroborated_frac"] >= golden_self_corr - 0.04
+          and stats["extra_junk_frac"] <= 0.06)
     return ok
 
 
@@ -329,6 +368,7 @@ def main():
                 ca, cb, mcfg.image_scale, mcfg.cross_check_threshold)
 
         mq = {}
+        self_corrs = []
         for i, cid in enumerate(mvs_cam_ids):
             s = survivor_stats(md[i], mg["depths_post"][i], 1.0)
             # any-view corroboration of extras against the golden's
@@ -337,7 +377,14 @@ def main():
                       classify_m(mcams32[i], mcams32[j]))
                      for j in range(n_views) if j != i]
             s.update(extra_stats(md[i], mg["depths_post"][i], pairs))
-            if not gate_mvs(s):
+            # the golden's own corroboration on the same metric — the
+            # anchor for the survivor-corroboration gate (docstring)
+            g_self = extra_stats(mg["depths_post"][i],
+                                 mg["depths_post"][i], pairs)
+            self_corr = g_self["survivor_corroborated_frac"]
+            self_corrs.append(self_corr)
+            s["golden_self_corroborated_frac"] = self_corr
+            if not gate_mvs(s, self_corr):
                 ok = False
                 log(f"mvs quality {cid}: FAIL {s}")
             mq[cid] = {k: round(v, 4) for k, v in s.items()}
@@ -346,11 +393,21 @@ def main():
         log(f"mvs quality (mean over views): {agg}")
 
         mvs_base = baseline.get("mvs", {})
+        # MFU lower bound: NCC tap math only (11 flops/tap), mean 2.75
+        # neighbours/view on this rig
+        h_img, w_img = mimgs[0].rgb.shape[:2]
+        sz = 2 * mcfg.window_radius + 1
+        mvs_flops = (n_views * h_img * w_img * mcfg.num_depth_levels
+                     * 2.75 * sz * sz * 11)
         mvs_fields = {
             "mvs_views_per_s": round(mvs_views_per_s, 3),
             "mvs_vs_baseline": round(
                 mvs_views_per_s / mvs_base["views_per_s"], 2)
             if mvs_base else None,
+            "mvs_mfu_tflops": round(
+                mvs_flops * mvs_views_per_s / n_views / 1e12, 3),
+            "mvs_mfu_pct_peak": round(
+                mvs_flops * mvs_views_per_s / n_views / 197e12 * 100, 3),
             "mvs_quality_mean": agg,
         }
     else:
@@ -359,6 +416,36 @@ def main():
         ok = False
 
     vs = views_per_s / baseline["views_per_s"]
+
+    # ---- perf-regression guard vs the best prior recorded bench ----
+    import glob
+    prior_best = {}
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        try:
+            with open(p) as f:
+                rec = json.load(f).get("parsed") or {}
+        except Exception:
+            continue
+        for key in ("value", "mvs_views_per_s"):
+            v = rec.get(key)
+            if isinstance(v, (int, float)):
+                prior_best[key] = max(prior_best.get(key, 0.0), v)
+    warns = []
+    for key, now in (("value", views_per_s),
+                     ("mvs_views_per_s",
+                      mvs_fields.get("mvs_views_per_s", 0.0) or 0.0)):
+        best = prior_best.get(key)
+        if best and now < 0.9 * best:
+            warns.append(f"{key} {now:.3f} is {100 * (1 - now / best):.0f}%"
+                         f" below best prior {best:.3f}")
+    for wmsg in warns:
+        log(f"PERF REGRESSION WARNING: {wmsg}")
+
+    # two-view MFU lower bound: NCC tap math only (11 flops/tap)
+    sz2 = 2 * cfg.window_radius + 1
+    h2, w2 = imgs[0].rgb.shape[:2]
+    tv_flops = 2 * h2 * w2 * cfg.num_depth_levels * sz2 * sz2 * 11
+
     print(json.dumps({
         "metric": "bunny twoview cost-volume views/s/chip "
                   "(r5 geodesic NCC, 100 depths, scale 0.5, cross-checked)",
@@ -368,7 +455,11 @@ def main():
         "method": winner,
         "views_per_s_fast": round(arms["fast"], 3),
         "views_per_s_pallas": round(arms["pallas"], 3),
+        "mfu_tflops": round(tv_flops * views_per_s / 2 / 1e12, 3),
+        "mfu_pct_peak": round(tv_flops * views_per_s / 2 / 197e12 * 100,
+                              3),
         "quality_ok": ok,
+        "regression_warn": warns or None,
         "quality_vs_native_golden": quality,
         **mvs_fields,
     }))

@@ -53,12 +53,13 @@ def main():
                                         method=method)
         out["methods"][method] = rows
         print("\n| devices (row axis) | per-device GFLOPs | efficiency "
-              "| collective bytes/device |")
-        print("|---|---|---|---|")
+              "| w/ comm model | collective bytes/device |")
+        print("|---|---|---|---|---|")
         for r in rows:
             comm = sum(r["collective_bytes_per_device"].values())
             print(f"| {r['n_row']} | {r['per_device_flops']/1e9:.2f} "
-                  f"| {r['efficiency']*100:.1f}% | {comm:,} |")
+                  f"| {r['efficiency']*100:.1f}% "
+                  f"| {r['efficiency_with_comm']*100:.1f}% | {comm:,} |")
 
     with open(os.path.join(os.path.dirname(__file__), "..",
                            "SCALING.json"), "w") as f:

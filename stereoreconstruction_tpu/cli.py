@@ -178,6 +178,17 @@ def cmd_stereo(args):
     if args.mrf and shard != "none":
         print("--mrf runs unsharded (dense-label volume)", file=sys.stderr)
         shard = "none"
+    # explicit but inapplicable --shard values fall through to the
+    # unsharded path — say so instead of silently ignoring (ADVICE r3)
+    if shard == "depth" and args.two_view:
+        print("--shard depth does not apply to --two-view; "
+              "running unsharded (use --shard row)", file=sys.stderr)
+    if shard == "row" and not args.two_view:
+        print("--shard row does not apply to MVS; running unsharded "
+              "(use --shard depth)", file=sys.stderr)
+    if shard in ("row", "depth") and n_dev == 1:
+        print(f"--shard {shard} requested but only 1 device is "
+              "visible; running unsharded", file=sys.stderr)
 
     if args.two_view:
         cfg = TwoViewConfig(min_depth=args.min_depth,

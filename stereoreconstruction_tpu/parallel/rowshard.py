@@ -121,17 +121,35 @@ def twoview_pairs_rowsharded(
     cam_sh = NamedSharding(mesh, P("view"))
     out_sh = NamedSharding(mesh, P("view", "row"))
 
-    put = lambda x: jax.device_put(jnp.asarray(x), blk_sh)
-    rgb_lb, mask_lb = put(rgb_lb.astype(np.float32)), put(mask_lb)
-    rgb_rb, mask_rb = put(rgb_rb.astype(np.float32)), put(mask_rb)
+    multi_host = jax.process_count() > 1
+
+    def put(x, sh):
+        """Host-local full array -> global sharded array.
+
+        `jax.device_put` of a host-local array onto a sharding that
+        spans non-addressable devices is JAX-version-sensitive (ADVICE
+        r3); on multi-host clusters route through
+        make_array_from_process_local_data, which slices each process's
+        addressable shards out of the (identical) full array every host
+        holds."""
+        x = np.asarray(x)
+        if multi_host:
+            return jax.make_array_from_process_local_data(
+                sh, x, global_shape=x.shape)
+        return jax.device_put(jnp.asarray(x), sh)
+
+    rgb_lb = put(rgb_lb.astype(np.float32), blk_sh)
+    mask_lb = put(mask_lb, blk_sh)
+    rgb_rb = put(rgb_rb.astype(np.float32), blk_sh)
+    mask_rb = put(mask_rb, blk_sh)
     # full other-view images, replicated over "row"
     img_sh = NamedSharding(mesh, P("view"))
-    rgb_lf = jax.device_put(jnp.asarray(rgbs_l), img_sh)
-    rgb_rf = jax.device_put(jnp.asarray(rgbs_r), img_sh)
-    mask_lf = jax.device_put(jnp.asarray(masks_l, bool), img_sh)
-    mask_rf = jax.device_put(jnp.asarray(masks_r, bool), img_sh)
+    rgb_lf = put(rgbs_l, img_sh)
+    rgb_rf = put(rgbs_r, img_sh)
+    mask_lf = put(np.asarray(masks_l, bool), img_sh)
+    mask_rf = put(np.asarray(masks_r, bool), img_sh)
     pcam = lambda c: jax.tree.map(
-        lambda x: jax.device_put(x, cam_sh), c)
+        lambda x: put(np.asarray(x), cam_sh), c)
     cams_l, cams_r = pcam(cams_l), pcam(cams_r)
 
     luma = lambda im: (0.11 * im[..., 0] + 0.59 * im[..., 1]

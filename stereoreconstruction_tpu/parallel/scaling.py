@@ -137,4 +137,44 @@ def analyze_rowshard_scaling(h, w, d, n_rows, *, method="fast",
     base = rows[0]["per_device_flops"]
     for r in rows:
         r["efficiency"] = base / (r["n_row"] * r["per_device_flops"])
+    add_communication_model(rows)
+    return rows
+
+
+# v5e model constants for the communication term (documented parameters
+# of the MODEL, not measurements): effective per-device all-gather
+# bandwidth over ICI, and the effective compute rate implied by the
+# measured single-chip bench (BENCH_r04: ~0.42 s/pair at D=100 vs the
+# ~8.6e11-flop model -> ~2e12 model-flop/s; the model-flop rate folds
+# the real MFU in, so compute and comm times are on the same clock).
+_ICI_AG_BW = 90e9           # bytes/s effective all-gather bandwidth
+_MODEL_FLOPS_PER_S = 2.0e12
+
+
+def add_communication_model(rows, *, ici_bw=_ICI_AG_BW,
+                            flops_per_s=_MODEL_FLOPS_PER_S):
+    """VERDICT r3 item 8: fold the cross-check all-gather serialization
+    into the efficiency model.
+
+    The sequential symmetric cross-check puts its two [H, W] all-gathers
+    on the dependency critical path (sweep_L -> all-gather -> sweep_R ->
+    all-gather -> checks): they cannot overlap the sweeps, so their time
+    adds to every device's wall clock while the per-device compute
+    shrinks as 1/n — the classic serial term.  Modeled comm time =
+    collective bytes / effective ICI all-gather bandwidth; compute time
+    = per-device model FLOPs / the effective rate implied by the
+    measured single-chip bench.  Still a MODEL (labeled so in
+    BASELINE.md): real collective latency constants and DCN hops are
+    not represented."""
+    if not rows:
+        return rows
+    t1 = (rows[0]["per_device_flops"] / flops_per_s
+          + sum(rows[0]["collective_bytes_per_device"].values()) / ici_bw)
+    for r in rows:
+        t_comp = r["per_device_flops"] / flops_per_s
+        t_comm = (sum(r["collective_bytes_per_device"].values())
+                  / ici_bw)
+        r["compute_seconds_model"] = t_comp
+        r["comm_seconds_model"] = t_comm
+        r["efficiency_with_comm"] = t1 / (r["n_row"] * (t_comp + t_comm))
     return rows

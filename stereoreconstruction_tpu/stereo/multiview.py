@@ -60,6 +60,97 @@ def select_neighbours(cams: Sequence[Camera],
     return out
 
 
+def resolve_mvs_method(method: str) -> str:
+    """Resolve method="auto" to the fastest backend for this platform:
+    the fused other-space-tap Pallas kernel on TPU (ops/pallas_mvs.py),
+    the XLA warp-tap path elsewhere (the kernel only runs under the slow
+    interpret mode off-TPU)."""
+    if method != "auto":
+        return method
+    return "pallas" if jax.default_backend() == "tpu" else "fast"
+
+
+def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
+                         masks_nbr, cam_ref: Camera, cams_nbr: Camera,
+                         cfg: MultiViewConfig, *, enable_refraction,
+                         enable_distortion, nbr_valid, with_topk=False):
+    """Initial estimate through the fused Pallas MVS kernel.
+
+    Builds the [D, N, 2, H, W] match-coordinate volume (exact f32
+    geometry), the left windows/weights, then one kernel call sweeps
+    taps + NCC + WTA (ops/pallas_mvs.pallas_mvs_wta).  WTA only — the
+    top-K hypothesis volume for the MRF path stays on the XLA sweep.
+    """
+    from ..ops.ncc import _left_windows
+    from ..ops.pallas_mvs import pallas_mvs_wta
+
+    dtype = gray_ref.dtype
+    h, w = gray_ref.shape
+    n_nbr = grays_nbr.shape[0]
+    radius = cfg.window_radius
+    size = 2 * radius + 1
+
+    weights = compute_weights(rgb_ref, radius, cfg.weights,
+                              exact=False).astype(dtype)
+    left_vals, left_valid, _ = _left_windows(gray_ref, mask_ref, radius,
+                                             use_sample=False)
+
+    ray_o, ray_d = pixel_rays(cam_ref, h, w, cfg.image_scale,
+                              enable_refraction=enable_refraction,
+                              enable_distortion=enable_distortion,
+                              dtype=dtype)
+    depths = depth_labels_uniform(cfg.min_depth, cfg.max_depth,
+                                  cfg.num_depth_levels, dtype=dtype)
+    _, pr_dir = principal_ray(cam_ref)
+    normal = pr_dir.astype(dtype)
+    center = cam_ref.C.astype(dtype)
+
+    def coords_at(_, d_idx):
+        depth = depths[d_idx]
+        pts, pvalid = point_from_depth(ray_o, ray_d, center, normal,
+                                       depth)
+
+        def one_nbr(cam_o):
+            xy, mvalid = match_points(
+                cam_o, pts, pvalid, cfg.image_scale,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion)
+            return jnp.where(mvalid[..., None], xy, -3e6)
+
+        xy = jax.vmap(one_nbr)(cams_nbr)            # [N, H, W, 2]
+        return (), jnp.moveaxis(xy, -1, 1)          # [N, 2, H, W]
+
+    _, coords = lax.scan(coords_at, (),
+                         jnp.arange(cfg.num_depth_levels))
+
+    if nbr_valid is None:
+        nbr_valid = jnp.ones((n_nbr,), bool)
+
+    # pad to tile multiples (pad coords with the invalid sentinel)
+    tile_h, tile_w = 16, 64
+    hp = -(-h // tile_h) * tile_h
+    wp = -(-w // tile_w) * tile_w
+    pad_hw = ((0, hp - h), (0, wp - w))
+    coords = jnp.pad(coords, ((0, 0), (0, 0), (0, 0)) + pad_hw,
+                     constant_values=-3e6)
+    pad_t = ((0, 0), (0, 0)) + pad_hw
+
+    # NB: grays_nbr stays UNPADDED — the kernel's tap-validity bounds are
+    # its true (hs, ws); only the reference side needs tile padding.
+    best_ncc, best_depth, oob = pallas_mvs_wta(
+        depths.astype(jnp.float32), coords, grays_nbr,
+        jnp.pad(left_vals.astype(dtype), pad_t).reshape(
+            size * size, hp, wp),
+        jnp.pad(left_valid, pad_t).reshape(size * size, hp, wp),
+        jnp.pad(weights, pad_t).reshape(size * size, hp, wp),
+        nbr_valid, radius=radius, thr=float(cfg.ncc_threshold),
+        tile_h=tile_h, tile_w=tile_w,
+        interpret=jax.default_backend() != "tpu")
+    best_ncc = best_ncc[:h, :w].astype(dtype)
+    best_depth = best_depth[:h, :w].astype(dtype)
+    return mvs_finalize_wta(best_ncc, best_depth, mask_ref)
+
+
 def _build_mvs_cost_fn(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
                        cam_ref: Camera, cams_nbr: Camera,
                        cfg: MultiViewConfig, *, enable_refraction,
@@ -239,6 +330,15 @@ def mvs_initial_estimate_oneview(
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
 
+    method = resolve_mvs_method(method)
+    if method == "pallas" and not with_topk:
+        return _mvs_pallas_estimate(
+            rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
+            cams_nbr, cfg, enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion, nbr_valid=nbr_valid)
+    if method == "pallas":
+        method = "fast"      # top-K hypothesis volume: XLA sweep
+
     plane_cost, depths = _build_mvs_cost_fn(
         rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
         cams_nbr, cfg, enable_refraction=enable_refraction,
@@ -387,7 +487,7 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
 def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
                    cfg: MultiViewConfig, *, cross_check=True,
                    enable_refraction=True, enable_distortion=True,
-                   method: str = "fast", dtype=jnp.float32,
+                   method: str = "auto", dtype=jnp.float32,
                    checkpoint=None, view_ids: Sequence[str] = None,
                    depth_mesh=None):
     """Full MultiViewStereo::runTask flow (WTA path).

@@ -173,3 +173,39 @@ class TestLauncher:
         # all devices folded into rows when a single view pair is given
         mesh1 = global_mesh(n_views=1)
         assert mesh1.devices.shape == (1, n)
+
+
+class TestDistributedRowshard:
+    """2-process row-sharded engine: the multi-host device-placement leg
+    (make_array_from_process_local_data) produces shards bit-equal to
+    the unsharded engine (ADVICE r3: this leg was untested)."""
+
+    def test_two_process_rowshard(self):
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = os.path.join(os.path.dirname(__file__),
+                              "rowshard_worker.py")
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env.update(JAX_COORDINATOR=f"127.0.0.1:{port}",
+                       JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(
+                [_sys.executable, worker], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out}"
+        assert all("ok=True" in o for o in outs), outs
