@@ -55,7 +55,7 @@ _SENTINEL = -1e6       # base-invalid coordinate marker (wrapper writes -3e6)
 def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
                 gl_ref, lv_ref, w_ref, ncc_out, depth_out, oob_out,
                 offs_smem, coord_buf, patch_buf, taps_buf, tapv_buf,
-                out_buf, sems,
+                state, out_buf, sems,
                 *, radius: int, n_depths: int, n_nbr: int, thr: float,
                 py: int, px: int, p_lanes: int, hs: int, ws: int):
     size = 2 * radius + 1
@@ -70,6 +70,11 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
 
     def off_at(n, d, j):
         return offs_smem[0, (n * i32(n_depths) + d) * i32(2) + j]
+
+    def alive_at(k):
+        n = k % i32(n_nbr)
+        d = k // i32(n_nbr)
+        return off_at(n, d, i32(0)) >= 0
 
     def coord_dma(slot, d, n):
         # coords layout [T, D, N, 2, P]: the sliced-by-1 dims lead, the
@@ -86,14 +91,25 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
             patch_buf.at[slot], sems.at[i32(2) + slot])
 
     o_dma.wait()
-    coord_dma(i32(0), i32(0), 0).start()
-    patch_dma(i32(0), i32(0), 0,
-              jnp.maximum(off_at(i32(0), i32(0), i32(0)), i32(0)),
-              jnp.maximum(off_at(i32(0), i32(0), i32(1)), i32(0))).start()
 
-    best_ncc = jnp.full((1, p_lanes), -jnp.inf, f32)
-    best_depth = jnp.full((1, p_lanes), -1.0, f32)
-    oob = jnp.zeros((1, p_lanes), f32)
+    @pl.when(alive_at(i32(0)))
+    def _():
+        # dead units skip their DMAs too (the per-copy issue overhead
+        # across ~60% dead bunny units was a large share of the sweep)
+        coord_dma(i32(0), i32(0), 0).start()
+        patch_dma(i32(0), i32(0), 0,
+                  jnp.maximum(off_at(i32(0), i32(0), i32(0)), i32(0)),
+                  jnp.maximum(off_at(i32(0), i32(0), i32(1)),
+                              i32(0))).start()
+
+    # WTA state in VMEM scratch (rows: best_ncc, best_depth, ncc_acc,
+    # oob) so the per-unit compute can sit under pl.when — dead units
+    # (y0 = -1: no relevant sample, or an all-masked-center tile) skip
+    # the tap matmuls and NCC entirely (~60% of bunny units)
+    state[0] = jnp.full((1, p_lanes), -jnp.inf, f32)
+    state[1] = jnp.full((1, p_lanes), -1.0, f32)
+    state[2] = jnp.full((1, p_lanes), -jnp.inf, f32)
+    state[3] = jnp.zeros((1, p_lanes), f32)
 
     # left-side per-tap constants (VMEM blocks, pixels on lanes)
     wgt = w_ref[0]                         # [25, P]
@@ -106,13 +122,12 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
     iota_px = jax.lax.broadcasted_iota(i32, (px, p_lanes), 0)
 
     def step(k, carry):
-        best_ncc, best_depth, oob, ncc_acc = carry
         d = k // i32(n_nbr)
         n = k % i32(n_nbr)
         slot = jax.lax.rem(k, i32(2))
         nxt = jax.lax.rem(k + i32(1), i32(2))
 
-        @pl.when(k + 1 < n_depths * n_nbr)
+        @pl.when((k + 1 < n_depths * n_nbr) & alive_at(k + i32(1)))
         def _():
             d1 = (k + i32(1)) // i32(n_nbr)
             n1 = (k + i32(1)) % i32(n_nbr)
@@ -125,113 +140,114 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
                       jnp.maximum(off_at(n1, d1, i32(1)),
                                   i32(0))).start()
 
-        coord_dma(slot, d, n).wait()
-        pltpu.make_async_copy(patches_hbm.at[0, :, pl.ds(i32(0), py),
-                                             pl.ds(i32(0), px)],
-                              patch_buf.at[slot],
-                              sems.at[i32(2) + slot]).wait()
+        @pl.when(alive_at(k))
+        def _():
+            coord_dma(slot, d, n).wait()
+            pltpu.make_async_copy(
+                patches_hbm.at[0, :, pl.ds(i32(0), py),
+                               pl.ds(i32(0), px)],
+                patch_buf.at[slot], sems.at[i32(2) + slot]).wait()
 
-        x2 = coord_buf[slot, 0:1, :]               # [1, P]
-        y2 = coord_buf[slot, 1:2, :]
-        y0 = off_at(n, d, i32(0))
-        x0 = off_at(n, d, i32(1))
-        # Branchless throughout: lax.cond with scratch-ref writes inside
-        # a branch read back stale state under Pallas (measured: taps
-        # from the wrong unit); dead units (y0 = -1, patch clamped to 0)
-        # are handled by the validity machinery anyway.
+        y0r = off_at(n, d, i32(0))
+        alive = y0r >= 0
 
-        base_ok = x2 > _SENTINEL
-        # floor with clip first: garbage coords (1e20) have undefined
-        # f32->int casts (ops/warp.py rationale)
-        xc = jnp.clip(x2, -1e6, 1e6)
-        yc = jnp.clip(y2, -1e6, 1e6)
-        ixf = jnp.floor(xc)                        # f32 floor, exact
-        iyf = jnp.floor(yc)
+        @pl.when(alive)
+        def _():
+            x2 = coord_buf[slot, 0:1, :]               # [1, P]
+            y2 = coord_buf[slot, 1:2, :]
+            x0 = jnp.maximum(off_at(n, d, i32(1)), i32(0))
+            y0 = jnp.maximum(y0r, i32(0))
 
-        ph = patch_buf[slot, 0]
-        plo = patch_buf[slot, 1]
-        x0 = jnp.maximum(x0, i32(0))
-        y0 = jnp.maximum(y0, i32(0))
-        for c in range(-radius, radius + 1):
-            # exact (int)(x2+c) semantics incl. the (-1,0)->0 clamp
-            jx = jnp.clip(ixf + c, 0.0, float(ws - 1))
-            px_idx = jax.lax.convert_element_type(jx, i32) - x0
-            boxT = (iota_px == jnp.broadcast_to(px_idx, (px, p_lanes)))
-            boxT = boxT.astype(jnp.bfloat16)
-            A = (jnp.dot(ph, boxT, preferred_element_type=f32)
-                 + jnp.dot(plo, boxT, preferred_element_type=f32))
-            cx_ok = ((x2 + float(c) > -1.0) & (x2 + float(c) < ws)
-                     & (px_idx >= 0) & (px_idx < px))
-            for r in range(-radius, radius + 1):
-                jy = jnp.clip(iyf + r, 0.0, float(hs - 1))
-                py_idx = jax.lax.convert_element_type(jy, i32) - y0
-                rowsel = (iota_py == jnp.broadcast_to(py_idx,
-                                                      (py, p_lanes)))
-                tap = jnp.sum(jnp.where(rowsel, A, 0.0), axis=0,
-                              keepdims=True)                 # [1, P]
-                ry_ok = ((y2 + float(r) > -1.0) & (y2 + float(r) < hs)
-                         & (py_idx >= 0) & (py_idx < py))
-                t_i = (r + radius) * size + (c + radius)
-                taps_buf[t_i:t_i + 1] = tap
-                valid = base_ok & cx_ok & ry_ok
-                tapv_buf[t_i:t_i + 1] = valid.astype(f32)
-                # in-image but outside the patch -> coverage loss
-                img_ok = (base_ok & (x2 + float(c) > -1.0)
-                          & (x2 + float(c) < ws)
-                          & (y2 + float(r) > -1.0)
-                          & (y2 + float(r) < hs))
-                oob = oob + jnp.where(img_ok & ~valid, 1.0, 0.0)
+            base_ok = x2 > _SENTINEL
+            # floor with clip first: garbage coords (1e20) have
+            # undefined f32->int casts (ops/warp.py rationale)
+            xc = jnp.clip(x2, -1e6, 1e6)
+            yc = jnp.clip(y2, -1e6, 1e6)
+            ixf = jnp.floor(xc)                        # f32 floor, exact
+            iyf = jnp.floor(yc)
 
-        # 7-accumulator weighted NCC (ncc_accumulate mvs_mode)
-        m = jnp.where(lmask & (tapv_buf[...] > 0.5), 1.0, 0.0)
-        wr = wgt * taps_buf[...]
-        mwl = m * wl
-        mwr = m * wr
-        S_w = jnp.sum(m * wgt, axis=0, keepdims=True)
-        S_l = jnp.sum(mwl, axis=0, keepdims=True)
-        S_r = jnp.sum(mwr, axis=0, keepdims=True)
-        S_ll = jnp.sum(mwl * wl, axis=0, keepdims=True)
-        S_rr = jnp.sum(mwr * wr, axis=0, keepdims=True)
-        S_lr = jnp.sum(mwl * wr, axis=0, keepdims=True)
-        N = jnp.sum(m, axis=0, keepdims=True)
+            ph = patch_buf[slot, 0]
+            plo = patch_buf[slot, 1]
+            for c in range(-radius, radius + 1):
+                # exact (int)(x2+c) semantics incl. (-1,0)->0 clamp
+                jx = jnp.clip(ixf + c, 0.0, float(ws - 1))
+                px_idx = jax.lax.convert_element_type(jx, i32) - x0
+                boxT = (iota_px
+                        == jnp.broadcast_to(px_idx, (px, p_lanes)))
+                boxT = boxT.astype(jnp.bfloat16)
+                A = (jnp.dot(ph, boxT, preferred_element_type=f32)
+                     + jnp.dot(plo, boxT, preferred_element_type=f32))
+                cx_ok = ((x2 + float(c) > -1.0) & (x2 + float(c) < ws)
+                         & (px_idx >= 0) & (px_idx < px))
+                for r in range(-radius, radius + 1):
+                    jy = jnp.clip(iyf + r, 0.0, float(hs - 1))
+                    py_idx = jax.lax.convert_element_type(jy, i32) - y0
+                    rowsel = (iota_py == jnp.broadcast_to(
+                        py_idx, (py, p_lanes)))
+                    tap = jnp.sum(jnp.where(rowsel, A, 0.0), axis=0,
+                                  keepdims=True)             # [1, P]
+                    ry_ok = ((y2 + float(r) > -1.0)
+                             & (y2 + float(r) < hs)
+                             & (py_idx >= 0) & (py_idx < py))
+                    t_i = (r + radius) * size + (c + radius)
+                    taps_buf[t_i:t_i + 1] = tap
+                    valid = base_ok & cx_ok & ry_ok
+                    tapv_buf[t_i:t_i + 1] = valid.astype(f32)
+                    # in-image but outside the patch -> coverage loss
+                    img_ok = (base_ok & (x2 + float(c) > -1.0)
+                              & (x2 + float(c) < ws)
+                              & (y2 + float(r) > -1.0)
+                              & (y2 + float(r) < hs))
+                    state[3] = state[3] + jnp.where(
+                        img_ok & ~valid, 1.0, 0.0)
 
-        have = S_w > _WEPS
-        S_w_safe = jnp.where(have, S_w, 1.0)
-        meanL = S_l / S_w_safe
-        meanR = S_r / S_w_safe
-        sum1 = S_lr - meanL * S_r - meanR * S_l + N * meanL * meanR
-        sum2 = S_ll - 2 * meanL * S_l + N * meanL * meanL
-        sum3 = S_rr - 2 * meanR * S_r + N * meanR * meanR
-        denom_ok = sum2 * sum3 >= _WEPS
-        ncc = sum1 / jnp.sqrt(jnp.where(denom_ok, sum2 * sum3, 1.0))
-        ncc = jnp.where(have & denom_ok & base_ok, ncc, -jnp.inf)
-        # peak iff ncc > threshold (multiviewstereo.cpp:589)
-        ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
-        ncc = jnp.where(nbrv_ref[0, n] > 0.5, ncc, -jnp.inf)
-        ncc_acc = jnp.maximum(ncc_acc, ncc)
+            # 7-accumulator weighted NCC (ncc_accumulate mvs_mode)
+            m = jnp.where(lmask & (tapv_buf[...] > 0.5), 1.0, 0.0)
+            wr = wgt * taps_buf[...]
+            mwl = m * wl
+            mwr = m * wr
+            S_w = jnp.sum(m * wgt, axis=0, keepdims=True)
+            S_l = jnp.sum(mwl, axis=0, keepdims=True)
+            S_r = jnp.sum(mwr, axis=0, keepdims=True)
+            S_ll = jnp.sum(mwl * wl, axis=0, keepdims=True)
+            S_rr = jnp.sum(mwr * wr, axis=0, keepdims=True)
+            S_lr = jnp.sum(mwl * wr, axis=0, keepdims=True)
+            N = jnp.sum(m, axis=0, keepdims=True)
+
+            have = S_w > _WEPS
+            S_w_safe = jnp.where(have, S_w, 1.0)
+            meanL = S_l / S_w_safe
+            meanR = S_r / S_w_safe
+            sum1 = S_lr - meanL * S_r - meanR * S_l + N * meanL * meanR
+            sum2 = S_ll - 2 * meanL * S_l + N * meanL * meanL
+            sum3 = S_rr - 2 * meanR * S_r + N * meanR * meanR
+            denom_ok = sum2 * sum3 >= _WEPS
+            ncc = sum1 / jnp.sqrt(jnp.where(denom_ok, sum2 * sum3, 1.0))
+            ncc = jnp.where(have & denom_ok & base_ok, ncc, -jnp.inf)
+            # peak iff ncc > threshold (multiviewstereo.cpp:589)
+            ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
+            ncc = jnp.where(nbrv_ref[0, n] > 0.5, ncc, -jnp.inf)
+            state[2] = jnp.maximum(state[2], ncc)
 
         # last neighbour of this label: fold into the WTA carry
         # (>= : equal peak at a later/larger depth wins — mvs_wta_slab)
-        do_fold = n == i32(n_nbr - 1)
-        better = do_fold & (ncc_acc >= best_ncc)
-        depth = depths_ref[0, d]
-        best_depth = jnp.where(better, depth, best_depth)
-        best_ncc = jnp.where(better, ncc_acc, best_ncc)
-        ncc_acc = jnp.where(do_fold,
-                            jnp.full((1, p_lanes), -jnp.inf, f32),
-                            ncc_acc)
-        return best_ncc, best_depth, oob, ncc_acc
+        @pl.when(n == i32(n_nbr - 1))
+        def _():
+            acc = state[2]
+            better = acc >= state[0]
+            state[1] = jnp.where(better, depths_ref[0, d], state[1])
+            state[0] = jnp.where(better, acc, state[0])
+            state[2] = jnp.full((1, p_lanes), -jnp.inf, f32)
+        return carry
 
-    init = (best_ncc, best_depth, oob,
-            jnp.full((1, p_lanes), -jnp.inf, f32))
-    best_ncc, best_depth, oob, _ = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(n_depths * n_nbr), step, init)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_depths * n_nbr), step,
+                      0)
 
     # outputs live in ANY (HBM); (1, P) VMEM blocks over [T, P] arrays
     # are rejected by the TPU lowering, so write via explicit DMA
-    out_buf[0] = best_ncc
-    out_buf[1] = best_depth
-    out_buf[2] = oob
+    out_buf[0] = state[0]
+    out_buf[1] = state[1]
+    out_buf[2] = state[3]
     for idx, ref in ((0, ncc_out), (1, depth_out), (2, oob_out)):
         dma = pltpu.make_async_copy(
             out_buf.at[idx], ref.at[i], sems.at[i32(5) + idx])
@@ -262,7 +278,7 @@ def _untile(a, h, w, th, tw):
 def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
                    *, radius: int, thr: float, tile_h: int = 16,
                    tile_w: int = 64, patch_h: int = 96, patch_w: int = 256,
-                   interpret: bool = False):
+                   center_valid=None, interpret: bool = False):
     """Fused MVS tap + NCC + WTA sweep.
 
     depths [D] f32; coords [D, N, 2, H, W] f32 (x2/y2 in the neighbour's
@@ -307,6 +323,13 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
     y2 = coords_t[:, :, 1]
     rel = ((x2 > _SENTINEL) & (x2 > -size - 1.0) & (x2 < ws + size)
            & (y2 > -size - 1.0) & (y2 < hs + size))
+    if center_valid is not None:
+        # masked centers never produce output (mvs_finalize_wta) — drop
+        # them from the patch bbox so fully-masked tiles go dead (y0=-1)
+        # and skip the whole unit in-kernel (~60% of bunny units)
+        cv = _tile_layout(jnp.asarray(center_valid, jnp.bool_)[None],
+                          tile_h, tile_w)[0]            # [T, P]
+        rel = rel & cv[None, None]
     big = jnp.asarray(3e6, f32)
     ymin = jnp.min(jnp.where(rel, y2, big), axis=-1)     # [D, N, T]
     xmin = jnp.min(jnp.where(rel, x2, big), axis=-1)
@@ -372,6 +395,7 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
                            jnp.bfloat16),                      # patches
                 pltpu.VMEM((size * size, p_lanes), f32),       # taps
                 pltpu.VMEM((size * size, p_lanes), f32),       # tap valid
+                pltpu.VMEM((4, 1, p_lanes), f32),              # WTA state
                 pltpu.VMEM((3, 1, p_lanes), f32),              # out stage
                 pltpu.SemaphoreType.DMA((8,)),
             ],

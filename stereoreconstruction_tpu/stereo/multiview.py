@@ -126,8 +126,11 @@ def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
     if nbr_valid is None:
         nbr_valid = jnp.ones((n_nbr,), bool)
 
-    # pad to tile multiples (pad coords with the invalid sentinel)
-    tile_h, tile_w = 16, 64
+    # pad to tile multiples (pad coords with the invalid sentinel).
+    # 8x32 tiles + 64x256 patches measured BOTH faster and lower-OOB
+    # than 16x64/96x256 on the bunny rig (finer tiles shrink the
+    # per-unit coordinate range faster than the unit count grows).
+    tile_h, tile_w = 8, 32
     hp = -(-h // tile_h) * tile_h
     wp = -(-w // tile_w) * tile_w
     pad_hw = ((0, hp - h), (0, wp - w))
@@ -144,7 +147,8 @@ def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
         jnp.pad(left_valid, pad_t).reshape(size * size, hp, wp),
         jnp.pad(weights, pad_t).reshape(size * size, hp, wp),
         nbr_valid, radius=radius, thr=float(cfg.ncc_threshold),
-        tile_h=tile_h, tile_w=tile_w,
+        tile_h=tile_h, tile_w=tile_w, patch_h=64, patch_w=256,
+        center_valid=jnp.pad(mask_ref, pad_hw),
         interpret=jax.default_backend() != "tpu")
     best_ncc = best_ncc[:h, :w].astype(dtype)
     best_depth = best_depth[:h, :w].astype(dtype)
