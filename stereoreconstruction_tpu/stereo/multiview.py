@@ -399,6 +399,28 @@ def mvs_initial_estimates_batched(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "n_neighbours", "enable_refraction",
+                     "enable_distortion", "method"))
+def mvs_batched_with_cross_check(
+        rgbs, grays, masks, grays_nbr, masks_nbr, cams_all: Camera,
+        cams_nbr: Camera, nbr_valid, cfg: MultiViewConfig,
+        n_neighbours: int, *, enable_refraction=True,
+        enable_distortion=True, method: str = "auto"):
+    """Batched initial estimates + any-view cross-check fused into ONE
+    compiled dispatch (host<->device roundtrips over a tunneled chip
+    dominated the wall clock when these ran as separate jit calls)."""
+    depths = mvs_initial_estimates_batched(
+        rgbs, grays, masks, grays_nbr, masks_nbr, cams_all, cams_nbr,
+        nbr_valid, cfg, n_neighbours,
+        enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion, method=method)
+    return mvs_cross_check_all(
+        depths, cams_all, cfg, enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "enable_refraction", "enable_distortion"))
 def mvs_cross_check_all(depths_all, cams_all: Camera,
                         cfg: MultiViewConfig, *, enable_refraction=True,
@@ -592,13 +614,24 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
         cams_all = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
         cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs),
                                 *[p[2] for p in padded])
+        if cross_check:
+            # ONE dispatch for estimates + cross-check: every extra
+            # host->device roundtrip costs ~tunnel latency; a profiled
+            # full run spent >70% of wall in device IDLE between the
+            # separate dispatches
+            with trace("mvs/estimates_and_cross_check"):
+                return mvs_batched_with_cross_check(
+                    rgbs, grays, masks, grays[nbr_idx], masks[nbr_idx],
+                    cams_all, cams_nbr, nbr_valid, cfg, n_pad,
+                    enable_refraction=enable_refraction,
+                    enable_distortion=enable_distortion, method=method)
         with trace("mvs/initial_estimates_batched"):
             depths = mvs_initial_estimates_batched(
                 rgbs, grays, masks, grays[nbr_idx], masks[nbr_idx],
                 cams_all, cams_nbr, nbr_valid, cfg, n_pad,
                 enable_refraction=enable_refraction,
                 enable_distortion=enable_distortion, method=method)
-        depths = list(depths)
+        return depths
     else:
         depths = []
         for i in range(n_views):
