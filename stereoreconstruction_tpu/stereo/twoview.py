@@ -58,7 +58,7 @@ def _host_distorted(cam: Camera) -> bool:
 
 def resolve_method(method: str, cfg: TwoViewConfig = None) -> str:
     """Resolve method="auto" to the fastest backend for this platform:
-    the fused Pallas NCC/WTA kernel on TPU (BENCH_r02: 4.89 vs 2.68
+    the fused Pallas NCC/WTA kernel on TPU (BENCH_r04: ~5.4 vs ~2.8
     views/s for the XLA fast path), the XLA fast path elsewhere (the
     kernel only runs under the slow interpret mode off-TPU).  SAD cost
     has no Pallas kernel."""
