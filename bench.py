@@ -199,6 +199,11 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    # cache tiny eager-op modules too: each costs a ~0.4 s remote-compile
+    # RPC on the tunneled chip and the default threshold (>= 1 s) refuses
+    # to persist them, so every run repaid ~100 of them (~40-80 s of the
+    # old warmup)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from stereoreconstruction_tpu.config import (MultiViewConfig,
                                                  TwoViewConfig)

@@ -481,7 +481,23 @@ def cmd_edit(args):
     return 0
 
 
+def _enable_compile_cache():
+    """Persistent jit cache for repeat CLI invocations, incl. sub-1s
+    eager-op modules (each costs a ~0.4 s remote-compile RPC on a
+    tunneled chip and the default threshold refuses to persist them)."""
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "stereoreconstruction_tpu", "jax")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception:
+        pass                     # read-only home: run uncached
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="stereoreconstruction_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
