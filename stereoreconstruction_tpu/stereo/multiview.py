@@ -540,7 +540,12 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
     """
     n_views = len(cams)
     neighbours = select_neighbours(cams, cfg)
-    cams = [c.astype(dtype) for c in cams]
+    # camera prep on HOST numpy: the per-call astype/stacking glue over
+    # device-resident leaves dispatched ~70 eager ops per run through
+    # the remote tunnel (~0.2 s measured); numpy leaves make it free and
+    # the jit uploads the (tiny) stacked params once at dispatch
+    cams = [jax.tree.map(lambda x: np.asarray(x).astype(dtype), c)
+            for c in cams]
     # Host-level static demotion (see stereo/twoview.compute_depth_maps):
     # skip the refractive/distortion projection paths when no camera in
     # the rig actually uses them.

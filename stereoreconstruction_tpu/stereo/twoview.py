@@ -488,8 +488,9 @@ def compute_depth_maps(rgb_l, mask_l, rgb_r, mask_r, cam_l: Camera,
     gray_l = 0.11 * rgb_l[..., 0] + 0.59 * rgb_l[..., 1] + 0.3 * rgb_l[..., 2]
     gray_r = 0.11 * rgb_r[..., 0] + 0.59 * rgb_r[..., 1] + 0.3 * rgb_r[..., 2]
 
-    cam_l = cam_l.astype(dtype)
-    cam_r = cam_r.astype(dtype)
+    # host-side camera prep (see stereo/multiview.mvs_depth_maps)
+    cam_l = jax.tree.map(lambda x: np.asarray(x).astype(dtype), cam_l)
+    cam_r = jax.tree.map(lambda x: np.asarray(x).astype(dtype), cam_r)
     # Host-level demotion: enable_refraction is a *static* flag; when
     # neither camera actually has an interface (Camera::isRefractive_
     # false, camera.cpp:329/339) the refractive projection is the identity
