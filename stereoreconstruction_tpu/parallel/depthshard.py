@@ -52,7 +52,13 @@ def mvs_initial_estimate_depthsharded(
     """Depth-sharded equivalent of ``mvs_initial_estimate_oneview``
     (fast method).  cfg.num_depth_levels must be divisible by the "depth"
     axis size.  Returns the same values as the unsharded function
-    (replicated on every device)."""
+    (replicated on every device).
+
+    NOTE: the sharded sweep runs the XLA warp-tap backend (whose slab
+    carries are bit-equality tested here); the single-device production
+    path uses the fused Pallas patch kernel (ops/pallas_mvs.py), which
+    could ride the same per-slab (label0, n_labels) structure + WTA
+    merge if multi-chip MVS throughput ever becomes the bottleneck."""
     n_dep = mesh.shape["depth"]
     D = cfg.num_depth_levels
     if D % n_dep:
