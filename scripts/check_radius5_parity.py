@@ -95,7 +95,38 @@ def main():
         agree.append(float((same_class.mean() + val_ok.mean()) / 2))
     out["ncc_wta_pick_agreement"] = min(agree)
     out["ncc_ok"] = bool(min(agree) > 0.995)
-    out["ok"] = bool(out["weights_ok"] and out["ncc_ok"])
+
+    # --- refractive path on the chip: fast/pallas vs exact ---
+    # (the quartic interface solve + Snell unprojection run at f32 on
+    # real TPU only here — CI exercises them on the CPU backend)
+    rcams = converging_rig(2, refractive=True)
+    rr, rm, _ = render_scene(rcams, 48, 64, plane_dist=60.0,
+                             enable_refraction=True)
+    rcfg = TwoViewConfig(window_radius=2, min_depth=45.0, max_depth=80.0,
+                         num_depth_levels=16, image_scale=1.0,
+                         weights=WeightConfig(kind="geodesic"))
+
+    def run_refr(method):
+        r = compute_depth_maps(rr[0], rm[0], rr[1], rm[1], rcams[0],
+                               rcams[1], rcfg, method=method,
+                               dtype=jnp.float32)
+        return np.asarray(r.depth_left), np.asarray(r.depth_right)
+
+    ex = run_refr("exact")
+    worst = 1.0
+    for method in ("fast", "pallas"):
+        got = run_refr(method)
+        for a, b in zip(got, ex):
+            both = np.isfinite(a) & np.isfinite(b)
+            if both.any():
+                med = float(np.median(np.abs(a[both] - b[both])))
+            else:
+                med = np.inf
+            worst = min(worst, 1.0 if med <= 1e-3 else 0.0)
+    out["refractive_ok"] = bool(worst >= 1.0)
+
+    out["ok"] = bool(out["weights_ok"] and out["ncc_ok"]
+                     and out["refractive_ok"])
     print(json.dumps(out))
     sys.exit(0 if out["ok"] else 1)
 
