@@ -237,7 +237,8 @@ def cmd_stereo(args):
         depths = np.asarray(mvs_depth_maps(
             np.stack([i.rgb for i in imgs]),
             np.stack([i.mask for i in imgs]), cams, cfg,
-            checkpoint=ckpt, view_ids=cam_ids, depth_mesh=depth_mesh))
+            method=args.method, checkpoint=ckpt, view_ids=cam_ids,
+            depth_mesh=depth_mesh))
         style = "mvs"
 
     if args.save_npz:
