@@ -47,8 +47,10 @@ replaced the MVS warp band with the fused patch kernel
     views against itself.  Gate: production >= golden_self - 0.04 per
     view (measured production tracks golden_self within ~0.023).
   * the extra-corroboration gate (>= 0.6) becomes a JUNK-FRACTION gate:
-    extra_frac * extra_checkable * (1 - extra_corroborated) <= 0.06 of
-    survivors.  Rationale: with production ~= golden (extras 6-9%, vs
+    extra_frac * extra_checkable * (1 - extra_corroborated) <= 0.05 of
+    survivors for two-view, <= 0.06 for MVS (per-engine bounds; the MVS
+    bound is looser because its quantized depth labels sit at the 0.5
+    cross-check threshold — the golden itself scores 0.76..1.0).  Rationale: with production ~= golden (extras 6-9%, vs
     57% in r3), the extra set is exactly the pixels the golden's own
     maps cannot corroborate (that is why its sequential cross-check
     dropped them) — the old gate is near-tautologically unpassable as
@@ -65,11 +67,33 @@ replaced the MVS warp band with the fused patch kernel
     so the extra coverage is real surface, not junk; the junk +
     corroboration gates now carry the accuracy burden the cap carried.
 
+TIMING PROTOCOL (round 5, VERDICT r4 item 2 — the r4 MVS headline had
+~25% session spread on min-over-3):
+
+  * wall: >=10 timed iterations per arm (inputs perturbed + uploaded
+    before the timer, sync via block_until_ready, no D2H in the loop);
+    the headline is the min, with median + IQR recorded so the spread
+    is visible in the artifact.
+  * device_compute_s: pure chip execution time per iteration, measured
+    by SLOPE — K repeats of the full pipeline run inside ONE jitted
+    fori_loop (per-iteration input perturbation + a carried accumulator
+    so nothing hoists), timed at two K values; (t(K2) - t(K1)) /
+    (K2 - K1) cancels the constant per-dispatch RPC latency of the
+    tunneled chip.  This is the number wall-clock converges to on a
+    production (non-tunneled) host, reported NEXT TO wall, never as
+    the headline.
+  * methodology field: records carry "methodology"; the regression
+    guard only compares same-methodology records.  r01-r03 timed D2H
+    transfers inside the loop (~2x lower views/s) and are excluded;
+    r04 used the current no-transfer loop (min-over-3) and is
+    comparable (ADVICE r4).
+
 Perf regression guard: the headline and MVS views/s are compared
-against the best prior BENCH_r*.json; a >10% drop emits a loud
-"regression_warn" field + stderr warning (not an exit failure: same-
-config wall-clock on this tunneled single chip varies by ~10% between
-sessions — r4 measured 4.35..4.89 views/s for an identical binary).
+against the best prior same-methodology BENCH_r*.json; a >10% drop
+emits a loud "regression_warn" field + stderr warning (not an exit
+failure: same-config wall-clock on this tunneled single chip varies by
+~10% between sessions — r4 measured 4.35..4.89 views/s for an
+identical binary).
 
 MFU fields: useful-FLOP model (NCC tap math only, excludes warps/
 weights — a deliberate lower bound) / wall-clock / v5e bf16 peak
@@ -255,7 +279,49 @@ def main():
         log(f"baseline: {base_s:.1f}s/view")
 
     # ---- TPU two-view: time both production methods ----
-    def run_method(method, n_iter=3):
+    def wall_stats(times, n_units):
+        """min/median/IQR of per-iteration wall times -> views/s stats."""
+        ts = np.asarray(times)
+        return {
+            "views_per_s": round(float(n_units / ts.min()), 3),
+            "wall_s_min": round(float(ts.min()), 4),
+            "wall_s_median": round(float(np.median(ts)), 4),
+            "wall_s_iqr": [round(float(np.percentile(ts, 25)), 4),
+                           round(float(np.percentile(ts, 75)), 4)],
+            "n_iter": len(times),
+        }
+
+    def device_slope(rep_fn, dev_args, k1=2, k2=8, repeats=2):
+        """Pure chip-execution seconds per pipeline iteration via the
+        in-graph repeat slope (module docstring, TIMING PROTOCOL)."""
+        jax.block_until_ready(rep_fn(*dev_args, jnp.int32(1)))  # compile
+        def timed(k):
+            best = np.inf
+            for _ in range(repeats):
+                t0 = time.time()
+                jax.block_until_ready(rep_fn(*dev_args, jnp.int32(k)))
+                best = min(best, time.time() - t0)
+            return best
+        t1, t2 = timed(k1), timed(k2)
+        return max((t2 - t1) / (k2 - k1), 1e-9)
+
+    from jax import lax
+
+    def make_rep_twoview(method):
+        @jax.jit
+        def rep(rgb_l, mask_l, rgb_r, mask_r, k):
+            def body(i, acc):
+                r = rgb_l.at[..., 0].add(
+                    (i + 1).astype(rgb_l.dtype) * 1e-3)
+                res = compute_depth_maps(
+                    r, mask_l, rgb_r, mask_r, cams[0], cams[1], cfg,
+                    method=method, dtype=jnp.float32)
+                d = res.depth_left
+                return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return rep
+
+    def run_method(method, n_iter=10):
         args = (imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask,
                 cams[0], cams[1], cfg)
         t0 = time.time()
@@ -266,8 +332,7 @@ def main():
         # per-iteration input perturbation (so no layer can memoize),
         # uploaded to the device BEFORE the timer (host<->device goes
         # through a remote tunnel here; the metric is views/s/chip and
-        # the CPU baseline carries no transfer either) + forced
-        # device-to-host fetch per iteration
+        # the CPU baseline carries no transfer either)
         times = []
         for i in range(n_iter):
             r_l = imgs[0].rgb.copy()
@@ -283,16 +348,24 @@ def main():
             # RAM with no wire either)
             jax.block_until_ready((res.depth_left, res.depth_right))
             times.append(time.time() - t0)
-        dt = min(times)
-        log(f"{method}: {dt:.3f}s/pair -> {2.0 / dt:.2f} views/s "
-            f"(times: {[round(t, 3) for t in times]})")
-        return 2.0 / dt
+        stats = wall_stats(times, 2.0)
+        # pure chip time per pair via the in-graph repeat slope
+        dev_args = jax.block_until_ready(jax.device_put(
+            (imgs[0].rgb, imgs[0].mask, imgs[1].rgb, imgs[1].mask)))
+        dev_s = device_slope(make_rep_twoview(method), dev_args)
+        stats["device_compute_s"] = round(dev_s, 4)
+        stats["device_views_per_s"] = round(2.0 / dev_s, 3)
+        log(f"{method}: {stats['wall_s_min']:.3f}s/pair wall (median "
+            f"{stats['wall_s_median']:.3f}, IQR {stats['wall_s_iqr']}), "
+            f"{dev_s:.3f}s device -> {stats['views_per_s']:.2f} wall / "
+            f"{stats['device_views_per_s']:.2f} device views/s")
+        return stats
 
     arms = {}
     for method in ("fast", "pallas"):
         arms[method] = run_method(method)
-    winner = max(arms, key=arms.get)
-    views_per_s = arms[winner]
+    winner = max(arms, key=lambda m: arms[m]["views_per_s"])
+    views_per_s = arms[winner]["views_per_s"]
     log(f"winner: {winner}")
 
     # quality is gated on a CLEAN (unperturbed) run of the winner — the
@@ -355,7 +428,7 @@ def main():
         np.asarray(md)
         log(f"mvs: warmup (incl compile): {time.time() - t0:.1f}s")
         times = []
-        for i in range(3):
+        for i in range(10):
             r = mrgbs.copy()
             r[..., 0] += np.float32(i + 1) * np.float32(1e-3)
             r_dev, m_dev = jax.block_until_ready(
@@ -364,11 +437,41 @@ def main():
             md = mvs_depth_maps(r_dev, m_dev, mcams, mcfg)
             jax.block_until_ready(md)
             times.append(time.time() - t0)
-        dt = min(times)
-        mvs_views_per_s = n_views / dt
-        log(f"mvs: {dt:.3f}s for {n_views} views -> "
-            f"{mvs_views_per_s:.2f} views/s "
-            f"(times: {[round(t, 3) for t in times]})")
+        mvs_stats = wall_stats(times, float(n_views))
+        mvs_views_per_s = mvs_stats["views_per_s"]
+
+        # host-side prep outside the trace (closed-over cameras become
+        # constants/tracers inside jit; numpy prep cannot run there)
+        from stereoreconstruction_tpu.stereo.multiview import (
+            mvs_prepare_batched, mvs_batched_with_cross_check)
+        (cams_all, cams_nbr, nbr_idx, nbr_valid, n_pad, m_er, m_ed) = \
+            mvs_prepare_batched(mcams, mcfg)
+
+        @jax.jit
+        def rep_mvs(rgbs_d, masks_d, k):
+            def body(i, acc):
+                r = rgbs_d.at[..., 0].add(
+                    (i + 1).astype(rgbs_d.dtype) * 1e-3)
+                gray = (0.11 * r[..., 0] + 0.59 * r[..., 1]
+                        + 0.3 * r[..., 2])
+                d = mvs_batched_with_cross_check(
+                    r, gray, masks_d, gray[nbr_idx], masks_d[nbr_idx],
+                    cams_all, cams_nbr, nbr_valid, mcfg, n_pad,
+                    enable_refraction=m_er, enable_distortion=m_ed,
+                    method="auto")
+                return acc + jnp.sum(jnp.where(jnp.isfinite(d), d, 0.0))
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        dev_args = jax.block_until_ready(
+            jax.device_put((jnp.asarray(mrgbs), jnp.asarray(mmasks))))
+        mvs_dev_s = device_slope(rep_mvs, dev_args, k1=2, k2=6)
+        mvs_stats["device_compute_s"] = round(mvs_dev_s, 4)
+        mvs_stats["device_views_per_s"] = round(n_views / mvs_dev_s, 3)
+        log(f"mvs: {mvs_stats['wall_s_min']:.3f}s wall for {n_views} "
+            f"views (median {mvs_stats['wall_s_median']:.3f}, IQR "
+            f"{mvs_stats['wall_s_iqr']}), {mvs_dev_s:.3f}s device -> "
+            f"{mvs_views_per_s:.2f} wall / "
+            f"{mvs_stats['device_views_per_s']:.2f} device views/s")
 
         md = np.asarray(mvs_depth_maps(mrgbs, mmasks, mcams, mcfg))
 
@@ -415,6 +518,7 @@ def main():
                      * 2.75 * sz * sz * 11)
         mvs_fields = {
             "mvs_views_per_s": round(mvs_views_per_s, 3),
+            "mvs_timing": mvs_stats,
             "mvs_vs_baseline": round(
                 mvs_views_per_s / mvs_base["views_per_s"], 2)
             if mvs_base else None,
@@ -432,13 +536,21 @@ def main():
     vs = views_per_s / baseline["views_per_s"]
 
     # ---- perf-regression guard vs the best prior recorded bench ----
+    # only same-methodology records compare (ADVICE r4): r01-r03 timed
+    # D2H transfers inside the loop (~2x lower), r04+ exclude them
+    METHODOLOGY = "notransfer"
     import glob
     prior_best = {}
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         try:
             with open(p) as f:
-                rec = json.load(f).get("parsed") or {}
+                full = json.load(f)
+            rec = full.get("parsed") or {}
         except Exception:
+            continue
+        meth = rec.get("methodology") or (
+            "notransfer" if full.get("n", 0) >= 4 else "withtransfer")
+        if meth != METHODOLOGY:
             continue
         for key in ("value", "mvs_views_per_s"):
             v = rec.get(key)
@@ -466,9 +578,11 @@ def main():
         "value": round(views_per_s, 3),
         "unit": "views/s",
         "vs_baseline": round(vs, 2),
+        "methodology": METHODOLOGY,
         "method": winner,
-        "views_per_s_fast": round(arms["fast"], 3),
-        "views_per_s_pallas": round(arms["pallas"], 3),
+        "views_per_s_fast": arms["fast"]["views_per_s"],
+        "views_per_s_pallas": arms["pallas"]["views_per_s"],
+        "twoview_timing": arms[winner],
         "mfu_tflops": round(tv_flops * views_per_s / 2 / 1e12, 3),
         "mfu_pct_peak": round(tv_flops * views_per_s / 2 / 197e12 * 100,
                               3),

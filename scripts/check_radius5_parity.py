@@ -125,8 +125,81 @@ def main():
             worst = min(worst, 1.0 if med <= 1e-3 else 0.0)
     out["refractive_ok"] = bool(worst >= 1.0)
 
+    # --- shard_map x REAL Pallas composition on the chip (VERDICT r4
+    # item 4): the CI suite can only run the kernel's block contract
+    # (row0/full_h) outside shard_map — the interpret-mode DMA emulation
+    # deadlocks inside CPU shard_map partitions.  Here the real kernel
+    # runs UNDER jax.shard_map on a 1x1 device mesh (one chip is all we
+    # have; the block code path is the same one an n-row mesh executes:
+    # halo-padded block, axis_index-derived row0, all_gather cross-check)
+    # and must reproduce the unsharded pallas maps bit-for-bit.
+    from stereoreconstruction_tpu.parallel.rowshard import (
+        make_mesh, stack_cameras, twoview_pairs_rowsharded)
+    mesh = make_mesh(1, 1)
+    want = run("pallas")     # unsharded production pallas maps (above)
+    dl, dr = twoview_pairs_rowsharded(
+        mesh, rgbs[:1], masks[:1], rgbs[1:2], masks[1:2],
+        stack_cameras([cams[0]]), stack_cameras([cams[1]]), cfg,
+        cross_check=False, method="pallas", dtype=jnp.float32,
+        enable_refraction=False)
+    sm_ok = True
+    for got, ref in ((np.asarray(dl[0]), want[0]),
+                     (np.asarray(dr[0]), want[1])):
+        same_class = ((np.isnan(got) == np.isnan(ref))
+                      & (np.isinf(got) == np.isinf(ref)))
+        both = np.isfinite(got) & np.isfinite(ref)
+        sm_ok = sm_ok and bool(same_class.all()
+                               and (got[both] == ref[both]).all())
+    out["shardmap_pallas_ok"] = bool(sm_ok)
+
+    # --- depth-slab MVS Pallas under shard_map on the chip (VERDICT r4
+    # item 3): mvs_initial_estimate_depthsharded(method="pallas") on a
+    # 1-device "depth" mesh (slab interface + axis_index label0 +
+    # all_gather merge, the exact code an n-slab mesh runs) must
+    # bit-match the unsharded kernel for BOTH the WTA map and the top-K
+    # hypothesis volume.  n-slab boundaries are covered in interpret
+    # mode by tests/test_depthshard.py::TestPallasSlabContract.
+    from stereoreconstruction_tpu.config import MultiViewConfig
+    from stereoreconstruction_tpu.parallel.depthshard import (
+        make_depth_mesh, mvs_initial_estimate_depthsharded)
+    from stereoreconstruction_tpu.stereo.multiview import (
+        mvs_initial_estimate_oneview)
+    mcams = converging_rig(3, refractive=False)
+    mr, mm, _ = render_scene(mcams, 48, 64, plane_dist=60.0,
+                             enable_refraction=False)
+    mcfg = MultiViewConfig(window_radius=2, min_depth=45.0,
+                           max_depth=80.0, num_depth_levels=16,
+                           image_scale=1.0)
+    mgrays = (0.11 * mr[..., 0] + 0.59 * mr[..., 1]
+              + 0.3 * mr[..., 2]).astype(np.float32)
+    mcams32 = [c.astype(jnp.float32) for c in mcams]
+    m_nbr = jax.tree.map(lambda *xs: jnp.stack(xs), *mcams32[1:])
+    margs = (jnp.asarray(mr[0], jnp.float32), jnp.asarray(mgrays[0]),
+             jnp.asarray(mm[0]), jnp.asarray(mgrays[1:]),
+             jnp.asarray(mm[1:]), mcams32[0], m_nbr)
+    dmesh = make_depth_mesh(1)
+    ds_ok = True
+    for with_topk in (False, True):
+        want = mvs_initial_estimate_oneview(
+            *margs, mcfg, 2, enable_refraction=False,
+            enable_distortion=False, method="pallas",
+            with_topk=with_topk)
+        got = mvs_initial_estimate_depthsharded(
+            dmesh, *margs, mcfg, enable_refraction=False,
+            enable_distortion=False, method="pallas",
+            with_topk=with_topk)
+        for g, wv in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            g, wv = np.asarray(g), np.asarray(wv)
+            same = ((g == wv) | (np.isnan(g) & np.isnan(wv))
+                    | (np.isinf(g) & np.isinf(wv) & (np.sign(g)
+                                                     == np.sign(wv))))
+            ds_ok = ds_ok and bool(same.all())
+    out["depthshard_pallas_ok"] = bool(ds_ok)
+
     out["ok"] = bool(out["weights_ok"] and out["ncc_ok"]
-                     and out["refractive_ok"])
+                     and out["refractive_ok"]
+                     and out["shardmap_pallas_ok"]
+                     and out["depthshard_pallas_ok"])
     print(json.dumps(out))
     sys.exit(0 if out["ok"] else 1)
 

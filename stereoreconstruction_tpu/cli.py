@@ -189,6 +189,10 @@ def cmd_stereo(args):
     if shard in ("row", "depth") and n_dev == 1:
         print(f"--shard {shard} requested but only 1 device is "
               "visible; running unsharded", file=sys.stderr)
+    if (shard == "depth" and not args.two_view and n_dev > 1
+            and args.method == "exact"):
+        print("--shard depth has no 'exact' slab backend; running the "
+              "fast warp path per slab (ADVICE r4)", file=sys.stderr)
 
     if args.two_view:
         cfg = TwoViewConfig(min_depth=args.min_depth,
@@ -486,15 +490,15 @@ def _enable_compile_cache():
     """Persistent jit cache for repeat CLI invocations, incl. sub-1s
     eager-op modules (each costs a ~0.4 s remote-compile RPC on a
     tunneled chip and the default threshold refuses to persist them)."""
+    import jax
     cache = os.path.join(os.path.expanduser("~"), ".cache",
                          "stereoreconstruction_tpu", "jax")
     try:
         os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.0)
-    except Exception:
-        pass                     # read-only home: run uncached
+    except OSError:
+        return                   # read-only home: run uncached
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main(argv=None):

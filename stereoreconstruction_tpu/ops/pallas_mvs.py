@@ -55,9 +55,10 @@ _SENTINEL = -1e6       # base-invalid coordinate marker (wrapper writes -3e6)
 def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
                 gl_ref, lv_ref, w_ref, ncc_out, depth_out, oob_out,
                 offs_smem, coord_buf, patch_buf, taps_buf, tapv_buf,
-                state, out_buf, sems,
+                state, topn_buf, topd_buf, sems,
                 *, radius: int, n_depths: int, n_nbr: int, thr: float,
-                py: int, px: int, p_lanes: int, hs: int, ws: int):
+                py: int, px: int, p_lanes: int, hs: int, ws: int,
+                n_topk: int):
     size = 2 * radius + 1
     i32 = jnp.int32
     f32 = jnp.float32
@@ -102,14 +103,17 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
                   jnp.maximum(off_at(i32(0), i32(0), i32(1)),
                               i32(0))).start()
 
-    # WTA state in VMEM scratch (rows: best_ncc, best_depth, ncc_acc,
-    # oob) so the per-unit compute can sit under pl.when — dead units
+    # sweep state in VMEM scratch (state rows: per-label ncc acc, oob
+    # count) so the per-unit compute can sit under pl.when — dead units
     # (y0 = -1: no relevant sample, or an all-masked-center tile) skip
-    # the tap matmuls and NCC entirely (~60% of bunny units)
+    # the tap matmuls and NCC entirely (~60% of bunny units).  The
+    # hypothesis list (topn/topd, ascending by (ncc, depth)) holds the
+    # top-K peaks of multiviewstereo.cpp:574-602; n_topk=1 degenerates
+    # to the WTA carry (same >= later-depth-wins tie rule).
     state[0] = jnp.full((1, p_lanes), -jnp.inf, f32)
-    state[1] = jnp.full((1, p_lanes), -1.0, f32)
-    state[2] = jnp.full((1, p_lanes), -jnp.inf, f32)
-    state[3] = jnp.zeros((1, p_lanes), f32)
+    state[1] = jnp.zeros((1, p_lanes), f32)
+    topn_buf[...] = jnp.full((n_topk, p_lanes), -jnp.inf, f32)
+    topd_buf[...] = jnp.full((n_topk, p_lanes), -1.0, f32)
 
     # left-side per-tap constants (VMEM blocks, pixels on lanes)
     wgt = w_ref[0]                         # [25, P]
@@ -198,7 +202,7 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
                               & (x2 + float(c) < ws)
                               & (y2 + float(r) > -1.0)
                               & (y2 + float(r) < hs))
-                    state[3] = state[3] + jnp.where(
+                    state[1] = state[1] + jnp.where(
                         img_ok & ~valid, 1.0, 0.0)
 
             # 7-accumulator weighted NCC (ncc_accumulate mvs_mode)
@@ -227,32 +231,53 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
             # peak iff ncc > threshold (multiviewstereo.cpp:589)
             ncc = jnp.where(ncc > thr, ncc, -jnp.inf)
             ncc = jnp.where(nbrv_ref[0, n] > 0.5, ncc, -jnp.inf)
-            state[2] = jnp.maximum(state[2], ncc)
+            state[0] = jnp.maximum(state[0], ncc)
 
-        # last neighbour of this label: fold into the WTA carry
-        # (>= : equal peak at a later/larger depth wins — mvs_wta_slab)
+        # last neighbour of this label: insert the label's candidate
+        # into the ascending top-K list.  The selection replicates
+        # mvs_topk_slab's stable argsort-and-drop-smallest exactly:
+        # r[j] = t[j+1] if t[j+1] <= c else (c if t[j] <= c else t[j]),
+        # with t[K] = +inf — among equal nccs the later (larger) depth
+        # lands after existing entries, so for n_topk=1 this IS the WTA
+        # ">=" tie rule (mvs_wta_slab).
         @pl.when(n == i32(n_nbr - 1))
         def _():
-            acc = state[2]
-            better = acc >= state[0]
-            state[1] = jnp.where(better, depths_ref[0, d], state[1])
-            state[0] = jnp.where(better, acc, state[0])
-            state[2] = jnp.full((1, p_lanes), -jnp.inf, f32)
+            c = state[0]
+            # no-peak labels carry the reference's (0, -1) default
+            # (multiviewstereo.cpp:600-607) — never a real depth
+            cd = jnp.where(c > -jnp.inf, depths_ref[0, d], -1.0)
+            for j in range(n_topk):
+                tj = topn_buf[j:j + 1]
+                tdj = topd_buf[j:j + 1]
+                if j + 1 < n_topk:
+                    take_next = topn_buf[j + 1:j + 2] <= c
+                    nn = jnp.where(take_next, topn_buf[j + 1:j + 2],
+                                   jnp.where(tj <= c, c, tj))
+                    nd = jnp.where(take_next, topd_buf[j + 1:j + 2],
+                                   jnp.where(tj <= c, cd, tdj))
+                else:
+                    nn = jnp.where(tj <= c, c, tj)
+                    nd = jnp.where(tj <= c, cd, tdj)
+                topn_buf[j:j + 1] = nn
+                topd_buf[j:j + 1] = nd
+            state[0] = jnp.full((1, p_lanes), -jnp.inf, f32)
         return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_depths * n_nbr), step,
                       0)
 
-    # outputs live in ANY (HBM); (1, P) VMEM blocks over [T, P] arrays
+    # outputs live in ANY (HBM); small VMEM blocks over [T, ...] arrays
     # are rejected by the TPU lowering, so write via explicit DMA
-    out_buf[0] = state[0]
-    out_buf[1] = state[1]
-    out_buf[2] = state[3]
-    for idx, ref in ((0, ncc_out), (1, depth_out), (2, oob_out)):
-        dma = pltpu.make_async_copy(
-            out_buf.at[idx], ref.at[i], sems.at[i32(5) + idx])
+    for idx, (buf, ref) in enumerate(
+            ((topn_buf, ncc_out), (topd_buf, depth_out))):
+        dma = pltpu.make_async_copy(buf, ref.at[i],
+                                    sems.at[i32(5) + idx])
         dma.start()
         dma.wait()
+    dma = pltpu.make_async_copy(state.at[1], oob_out.at[i],
+                                sems.at[i32(7)])
+    dma.start()
+    dma.wait()
 
 
 def _tile_layout(a, th, tw):
@@ -265,21 +290,23 @@ def _tile_layout(a, th, tw):
 
 
 def _untile(a, h, w, th, tw):
-    """[n_tiles, th*tw] -> [H, W]."""
-    a = a.reshape(h // th, w // tw, th, tw)
-    a = jnp.moveaxis(a, -2, -3)           # [ty, th, tx, tw]
-    return a.reshape(h, w)
+    """[..., n_tiles, th*tw] -> [..., H, W] (leading axes preserved)."""
+    lead = a.shape[:-2]
+    a = a.reshape(lead + (h // th, w // tw, th, tw))
+    a = jnp.moveaxis(a, -2, -3)           # [..., ty, th, tx, tw]
+    return a.reshape(lead + (h, w))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "thr", "tile_h", "tile_w", "patch_h",
-                     "patch_w", "interpret"))
+                     "patch_w", "interpret", "n_topk"))
 def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
                    *, radius: int, thr: float, tile_h: int = 16,
                    tile_w: int = 64, patch_h: int = 96, patch_w: int = 256,
-                   center_valid=None, interpret: bool = False):
-    """Fused MVS tap + NCC + WTA sweep.
+                   center_valid=None, interpret: bool = False,
+                   n_topk: int = 1):
+    """Fused MVS tap + NCC + top-K/WTA sweep.
 
     depths [D] f32; coords [D, N, 2, H, W] f32 (x2/y2 in the neighbour's
     scaled pixel frame, -3e6 where the base sample is invalid);
@@ -287,10 +314,19 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
     values / validity / support weights, window-position major);
     nbr_valid [N] bool (padding mask for the stacked neighbours).
 
-    Returns (best_ncc [H, W], best_depth [H, W], oob_frac scalar): the
-    raw WTA carry of stereo.multiview.mvs_wta_slab (finalize with
-    mvs_finalize_wta), and the fraction of in-image taps that fell
+    With the default n_topk=1, returns (best_ncc [H, W], best_depth
+    [H, W], oob_frac scalar): the raw WTA carry of
+    stereo.multiview.mvs_wta_slab (finalize with mvs_finalize_wta).
+    With n_topk=K > 1, the first two outputs are [K, H, W] ascending by
+    (ncc, depth) — the hypothesis volume of mvs_topk_slab (peaks padded
+    with (-inf, -1); callers map -inf -> 0 per multiviewstereo.cpp:
+    600-607).  oob_frac is the fraction of in-image taps that fell
     outside the DMA'd patches (coverage diagnostic).
+
+    The depth-label axis composes with slab sharding: callers pass a
+    slab's depths/coords and merge raw carries across slabs
+    (parallel/depthshard.py) — the ascending-insert tie rule makes the
+    merge exact.
     """
     n_depths, n_nbr = coords.shape[0], coords.shape[1]
     h, w = coords.shape[-2:]
@@ -358,9 +394,11 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
     kernel = functools.partial(
         _mvs_kernel, radius=radius, n_depths=n_depths, n_nbr=n_nbr,
         thr=float(thr), py=patch_h, px=patch_w, p_lanes=p_lanes,
-        hs=hs, ws=ws)
+        hs=hs, ws=ws, n_topk=n_topk)
 
-    out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, p_lanes), f32)] * 3
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, n_topk, p_lanes), f32),
+                 jax.ShapeDtypeStruct((n_tiles, n_topk, p_lanes), f32),
+                 jax.ShapeDtypeStruct((n_tiles, 1, p_lanes), f32)]
     with jax.enable_x64(False):
         ncc, depth, oob = pl.pallas_call(
             kernel,
@@ -395,8 +433,9 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
                            jnp.bfloat16),                      # patches
                 pltpu.VMEM((size * size, p_lanes), f32),       # taps
                 pltpu.VMEM((size * size, p_lanes), f32),       # tap valid
-                pltpu.VMEM((4, 1, p_lanes), f32),              # WTA state
-                pltpu.VMEM((3, 1, p_lanes), f32),              # out stage
+                pltpu.VMEM((2, 1, p_lanes), f32),              # ncc/oob
+                pltpu.VMEM((n_topk, p_lanes), f32),            # top ncc
+                pltpu.VMEM((n_topk, p_lanes), f32),            # top depth
                 pltpu.SemaphoreType.DMA((8,)),
             ],
         )(depths_f, nbrv_f, coords_k, offs_pack, patches,
@@ -404,13 +443,15 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
           jnp.moveaxis(lv_t, 0, 1),
           jnp.moveaxis(w_t, 0, 1))
 
-    ncc = ncc[:, 0]
-    depth = depth[:, 0]
-    oob = oob[:, 0]
+    # [T, K, P] -> [K, T, P] -> [K, H, W] (or [H, W] for WTA mode)
+    ncc = jnp.moveaxis(ncc, 1, 0)
+    depth = jnp.moveaxis(depth, 1, 0)
+    if n_topk == 1:
+        ncc, depth = ncc[0], depth[0]
     best_ncc = _untile(ncc, h, w, tile_h, tile_w)
     best_depth = _untile(depth, h, w, tile_h, tile_w)
     # missed (in-image but outside-patch) taps over all possible taps —
     # the coverage diagnostic the bench reports
-    oob_frac = jnp.sum(oob) / (float(h * w) * n_depths * n_nbr
-                               * size * size)
+    oob_frac = jnp.sum(oob[:, 0]) / (float(h * w) * n_depths * n_nbr
+                                     * size * size)
     return best_ncc, best_depth, oob_frac

@@ -48,17 +48,21 @@ def make_depth_mesh(n_depth: int, devices=None) -> Mesh:
 def mvs_initial_estimate_depthsharded(
         mesh: Mesh, rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
         cam_ref: Camera, cams_nbr: Camera, cfg: MultiViewConfig, *,
-        enable_refraction=True, enable_distortion=True, with_topk=False):
-    """Depth-sharded equivalent of ``mvs_initial_estimate_oneview``
-    (fast method).  cfg.num_depth_levels must be divisible by the "depth"
-    axis size.  Returns the same values as the unsharded function
-    (replicated on every device).
+        enable_refraction=True, enable_distortion=True, with_topk=False,
+        method="fast", nbr_valid=None, compile_only=False):
+    """Depth-sharded equivalent of ``mvs_initial_estimate_oneview``.
+    cfg.num_depth_levels must be divisible by the "depth" axis size.
+    Returns the same values as the unsharded function (replicated on
+    every device).
 
-    NOTE: the sharded sweep runs the XLA warp-tap backend (whose slab
-    carries are bit-equality tested here); the single-device production
-    path uses the fused Pallas patch kernel (ops/pallas_mvs.py), which
-    could ride the same per-slab (label0, n_labels) structure + WTA
-    merge if multi-chip MVS throughput ever becomes the bottleneck."""
+    method: "fast" (XLA warp-tap backend) or "pallas" — the production
+    fused patch kernel (ops/pallas_mvs.py) driven through its
+    (label0, n_labels) slab interface; each device's kernel sweeps only
+    its slab and the raw carries merge with the same ascending-insert
+    tie rule, so slab results are bit-equal to the unsharded kernel
+    (tests/test_depthshard.py slab-contract tests; real-chip shard_map
+    attestation in scripts/check_radius5_parity.py — the interpret-mode
+    kernel cannot execute inside CPU shard_map partitions)."""
     n_dep = mesh.shape["depth"]
     D = cfg.num_depth_levels
     if D % n_dep:
@@ -71,15 +75,37 @@ def mvs_initial_estimate_depthsharded(
 
     def body(rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
              cam_ref, cams_nbr):
-        plane_cost, depths = _build_mvs_cost_fn(
-            rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
-            cams_nbr, cfg, enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion, method="fast")
         label0 = jax.lax.axis_index("depth") * slab
+        if method == "pallas":
+            from ..stereo.multiview import _mvs_pallas_sweep
+            raw = _mvs_pallas_sweep(
+                rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
+                cam_ref, cams_nbr, cfg,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion,
+                nbr_valid=nbr_valid, with_topk=with_topk,
+                label0=label0, n_labels=slab)
+            if not with_topk:
+                ncc, dep = raw
+            else:
+                top_ncc, top_depth = raw
+        else:
+            plane_cost, depths = _build_mvs_cost_fn(
+                rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr,
+                cam_ref, cams_nbr, cfg,
+                enable_refraction=enable_refraction,
+                enable_distortion=enable_distortion, method="fast",
+                nbr_valid=nbr_valid)
+            if not with_topk:
+                ncc, dep = mvs_wta_slab(plane_cost, depths, cfg, (h, w),
+                                        dtype, label0=label0,
+                                        n_labels=slab)
+            else:
+                top_ncc, top_depth = mvs_topk_slab(
+                    plane_cost, depths, cfg, (h, w), dtype,
+                    label0=label0, n_labels=slab)
 
         if not with_topk:
-            ncc, dep = mvs_wta_slab(plane_cost, depths, cfg, (h, w),
-                                    dtype, label0=label0, n_labels=slab)
             # cross-slab merge with the sequential tie rule: slabs are in
             # ascending-depth axis order, so a later slab wins ties (>=).
             all_ncc = jax.lax.all_gather(ncc, "depth")       # [S, H, W]
@@ -91,9 +117,6 @@ def mvs_initial_estimate_depthsharded(
                 best_ncc = jnp.where(better, all_ncc[j], best_ncc)
             return mvs_finalize_wta(best_ncc, best_depth, mask_ref)
 
-        top_ncc, top_depth = mvs_topk_slab(
-            plane_cost, depths, cfg, (h, w), dtype,
-            label0=label0, n_labels=slab)
         # merge_topk: all_gather slabs (ascending depth order) + stable
         # re-select — among equal NCCs the larger depth survives, matching
         # the unsharded sequential insertion.
@@ -114,4 +137,11 @@ def mvs_initial_estimate_depthsharded(
             put(jnp.asarray(mask_ref, bool)), put(grays_nbr),
             put(masks_nbr), jax.tree.map(put, cam_ref),
             jax.tree.map(put, cams_nbr))
+    if compile_only:
+        # SPMD lowering check without executing — the interpret-mode
+        # Pallas kernel cannot run inside CPU shard_map partitions
+        # (callback-DMA deadlock); __graft_entry__.dryrun_multichip uses
+        # this for the slab-pallas path, which executes for real on the
+        # chip (scripts/check_radius5_parity.py, depthshard_pallas_ok)
+        return fn.lower(*args).compile()
     return fn(*args)

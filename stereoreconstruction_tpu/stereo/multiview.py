@@ -70,17 +70,24 @@ def resolve_mvs_method(method: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "fast"
 
 
-def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
-                         masks_nbr, cam_ref: Camera, cams_nbr: Camera,
-                         cfg: MultiViewConfig, *, enable_refraction,
-                         enable_distortion, nbr_valid, with_topk=False):
-    """Initial estimate through the fused Pallas MVS kernel.
+def _mvs_pallas_sweep(rgb_ref, gray_ref, mask_ref, grays_nbr,
+                      masks_nbr, cam_ref: Camera, cams_nbr: Camera,
+                      cfg: MultiViewConfig, *, enable_refraction,
+                      enable_distortion, nbr_valid, with_topk=False,
+                      label0=0, n_labels=None, patch_h=32,
+                      patch_w=256):
+    """Raw depth-label sweep through the fused Pallas MVS kernel.
 
-    Builds the [D, N, 2, H, W] match-coordinate volume (exact f32
+    Builds the [n_labels, N, 2, H, W] match-coordinate volume (exact f32
     geometry), the left windows/weights, then one kernel call sweeps
-    taps + NCC + WTA (ops/pallas_mvs.pallas_mvs_wta).  WTA only — the
-    top-K hypothesis volume for the MRF path stays on the XLA sweep.
-    """
+    taps + NCC + top-K/WTA (ops/pallas_mvs.pallas_mvs_wta).
+
+    label0/n_labels: sweep only the global labels [label0, label0 +
+    n_labels) — the depth-slab interface parallel/depthshard.py drives
+    (label0 may be traced, e.g. an axis_index).  Returns the RAW carry:
+    (best_ncc, best_depth) [H, W] for WTA, or the ascending [K, H, W]
+    hypothesis lists for with_topk — callers finalize/merge
+    (mvs_finalize_wta / parallel.collectives.merge_topk)."""
     from ..ops.ncc import _left_windows
     from ..ops.pallas_mvs import pallas_mvs_wta
 
@@ -89,6 +96,8 @@ def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
     n_nbr = grays_nbr.shape[0]
     radius = cfg.window_radius
     size = 2 * radius + 1
+    if n_labels is None:
+        n_labels = cfg.num_depth_levels
 
     weights = compute_weights(rgb_ref, radius, cfg.weights,
                               exact=False).astype(dtype)
@@ -99,14 +108,14 @@ def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
                               enable_refraction=enable_refraction,
                               enable_distortion=enable_distortion,
                               dtype=dtype)
-    depths = depth_labels_uniform(cfg.min_depth, cfg.max_depth,
-                                  cfg.num_depth_levels, dtype=dtype)
+    depths_full = depth_labels_uniform(cfg.min_depth, cfg.max_depth,
+                                       cfg.num_depth_levels, dtype=dtype)
+    slab_depths = lax.dynamic_slice_in_dim(depths_full, label0, n_labels)
     _, pr_dir = principal_ray(cam_ref)
     normal = pr_dir.astype(dtype)
     center = cam_ref.C.astype(dtype)
 
-    def coords_at(_, d_idx):
-        depth = depths[d_idx]
+    def coords_at(_, depth):
         pts, pvalid = point_from_depth(ray_o, ray_d, center, normal,
                                        depth)
 
@@ -120,8 +129,7 @@ def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
         xy = jax.vmap(one_nbr)(cams_nbr)            # [N, H, W, 2]
         return (), jnp.moveaxis(xy, -1, 1)          # [N, 2, H, W]
 
-    _, coords = lax.scan(coords_at, (),
-                         jnp.arange(cfg.num_depth_levels))
+    _, coords = lax.scan(coords_at, (), slab_depths)
 
     if nbr_valid is None:
         nbr_valid = jnp.ones((n_nbr,), bool)
@@ -141,17 +149,36 @@ def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
     # NB: grays_nbr stays UNPADDED — the kernel's tap-validity bounds are
     # its true (hs, ws); only the reference side needs tile padding.
     best_ncc, best_depth, oob = pallas_mvs_wta(
-        depths.astype(jnp.float32), coords, grays_nbr,
+        slab_depths.astype(jnp.float32), coords, grays_nbr,
         jnp.pad(left_vals.astype(dtype), pad_t).reshape(
             size * size, hp, wp),
         jnp.pad(left_valid, pad_t).reshape(size * size, hp, wp),
         jnp.pad(weights, pad_t).reshape(size * size, hp, wp),
         nbr_valid, radius=radius, thr=float(cfg.ncc_threshold),
-        tile_h=tile_h, tile_w=tile_w, patch_h=64, patch_w=256,
+        tile_h=tile_h, tile_w=tile_w, patch_h=patch_h, patch_w=patch_w,
         center_valid=jnp.pad(mask_ref, pad_hw),
+        n_topk=(cfg.top_k if with_topk else 1),
         interpret=jax.default_backend() != "tpu")
-    best_ncc = best_ncc[:h, :w].astype(dtype)
-    best_depth = best_depth[:h, :w].astype(dtype)
+    best_ncc = best_ncc[..., :h, :w].astype(dtype)
+    best_depth = best_depth[..., :h, :w].astype(dtype)
+    return best_ncc, best_depth
+
+
+def _mvs_pallas_estimate(rgb_ref, gray_ref, mask_ref, grays_nbr,
+                         masks_nbr, cam_ref: Camera, cams_nbr: Camera,
+                         cfg: MultiViewConfig, *, enable_refraction,
+                         enable_distortion, nbr_valid, with_topk=False):
+    """Initial estimate through the fused Pallas MVS kernel — WTA depth
+    map, or the top-K hypothesis volume for the MRF path."""
+    best_ncc, best_depth = _mvs_pallas_sweep(
+        rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
+        cams_nbr, cfg, enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion, nbr_valid=nbr_valid,
+        with_topk=with_topk)
+    if with_topk:
+        # the reference's (0, -1) no-peak default (mvs cpp:600-607)
+        return jnp.where(jnp.isfinite(best_ncc), best_ncc, 0.0), \
+            best_depth
     return mvs_finalize_wta(best_ncc, best_depth, mask_ref)
 
 
@@ -335,13 +362,12 @@ def mvs_initial_estimate_oneview(
     h, w = gray_ref.shape
 
     method = resolve_mvs_method(method)
-    if method == "pallas" and not with_topk:
+    if method == "pallas":
         return _mvs_pallas_estimate(
             rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
             cams_nbr, cfg, enable_refraction=enable_refraction,
-            enable_distortion=enable_distortion, nbr_valid=nbr_valid)
-    if method == "pallas":
-        method = "fast"      # top-K hypothesis volume: XLA sweep
+            enable_distortion=enable_distortion, nbr_valid=nbr_valid,
+            with_topk=with_topk)
 
     plane_cost, depths = _build_mvs_cost_fn(
         rgb_ref, gray_ref, mask_ref, grays_nbr, masks_nbr, cam_ref,
@@ -474,21 +500,43 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
     p1, v1 = point_from_depth(ray_o, ray_d, cam_ref.C.astype(dtype), na,
                               depth_safe)
 
-    def check_view(j):
+    def proj_view(j):
         cam_o = jax.tree.map(lambda x: x[j], cams_all)
-        depth_o = depths_all[j]
         xy_full, vproj = project(cam_o, p1,
                                  enable_refraction=enable_refraction,
                                  enable_distortion=enable_distortion,
                                  quartic_iters=30)
-        x2 = xy_full[..., 0] * cfg.image_scale
-        y2 = xy_full[..., 1] * cfg.image_scale
+        return (xy_full[..., 0] * cfg.image_scale,
+                xy_full[..., 1] * cfg.image_scale, vproj)
+
+    x2s, y2s, vprojs = jax.vmap(proj_view)(jnp.arange(n_views))
+
+    # the scattered depth[iy, ix] reads are XLA:TPU's slowest op in the
+    # whole MVS pipeline (~20 ms/view of serial gather, round-5 device
+    # profile); the Pallas one-hot sampler reproduces them bit-exactly
+    # (3-way bf16 split) at ~2% of the cost.  XLA gather elsewhere —
+    # the interpret-mode kernel would slow the CPU test mesh instead.
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_sample import pallas_sample_nearest
+        ods, ofins, _ = pallas_sample_nearest(
+            depths_all.astype(jnp.float32), x2s.astype(jnp.float32),
+            y2s.astype(jnp.float32))
+        ods = ods.astype(dtype)
+    else:
+        def gather_view(j):
+            ix = jnp.clip(jnp.trunc(x2s[j]).astype(jnp.int32), 0, w - 1)
+            iy = jnp.clip(jnp.trunc(y2s[j]).astype(jnp.int32), 0, h - 1)
+            od = depths_all[j][iy, ix]
+            return jnp.where(jnp.isfinite(od), od, 0.0), \
+                jnp.isfinite(od)
+        ods, ofins = jax.vmap(gather_view)(jnp.arange(n_views))
+
+    def check_view(j):
+        cam_o = jax.tree.map(lambda x: x[j], cams_all)
+        x2, y2 = x2s[j], y2s[j]
         contains = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
-        ix = jnp.clip(jnp.trunc(x2).astype(jnp.int32), 0, w - 1)
-        iy = jnp.clip(jnp.trunc(y2).astype(jnp.int32), 0, h - 1)
-        od = depth_o[iy, ix]
-        ofinite = jnp.isfinite(od)
-        od_safe = jnp.where(ofinite, od, 1.0)
+        ofinite = ofins[j]
+        od_safe = jnp.where(ofinite, ods[j], 1.0)
         oxy = jnp.stack([(x2 + 0.5) / cfg.image_scale,
                          (y2 + 0.5) / cfg.image_scale], axis=-1)
         r2o, r2d = unproject(cam_o, oxy,
@@ -498,7 +546,7 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
         p2, v2 = point_from_depth(r2o, r2d, cam_o.C.astype(dtype),
                                   nb.astype(dtype), od_safe)
         norm = jnp.linalg.norm(p1 - p2, axis=-1)
-        agree = (vproj & contains & ofinite & v2
+        agree = (vprojs[j] & contains & ofinite & v2
                  & jnp.isfinite(norm) & (norm < cfg.cross_check_threshold))
         return agree & (j != view_index)
 
@@ -508,6 +556,44 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
 
     # pointFromDepth failure for the reference pixel -> keep as is.
     return jnp.where(finite & v1 & ~found, jnp.nan, depth_ref)
+
+
+def mvs_prepare_batched(cams: Sequence[Camera], cfg: MultiViewConfig,
+                        dtype=jnp.float32):
+    """HOST-side prep for the batched MVS dispatch: neighbour selection,
+    numpy camera casting, static refraction/distortion demotion, and
+    padded-neighbour stacking.  Returns
+    ``(cams_all, cams_nbr, nbr_idx, nbr_valid, n_pad, enable_refraction,
+    enable_distortion)`` — everything ``mvs_batched_with_cross_check``
+    needs besides the image arrays.
+
+    Exists separately from ``mvs_depth_maps`` so callers that jit a loop
+    AROUND the pipeline (bench.py's device-compute slope timer) can run
+    the host prep once outside the trace — inside a trace the closed-over
+    device cameras become constants/tracers and the numpy-side prep here
+    (``np.asarray`` on camera leaves) cannot execute.
+    """
+    neighbours = select_neighbours(cams, cfg)
+    cams = [jax.tree.map(lambda x: np.asarray(x).astype(dtype), c)
+            for c in cams]
+    from .twoview import _host_refractive, _host_distorted
+    enable_refraction = any(_host_refractive(c) for c in cams)
+    enable_distortion = any(_host_distorted(c) for c in cams)
+
+    n_pad = max((len(n) for n in neighbours), default=0)
+    nbr_idx, nbr_valid, cams_nbr_list = [], [], []
+    for i in range(len(cams)):
+        nbr = list(neighbours[i])
+        nbr_valid.append([True] * len(nbr) + [False] * (n_pad - len(nbr)))
+        nbr = nbr + [nbr[0] if nbr else 0] * (n_pad - len(nbr))
+        nbr_idx.append(nbr)
+        cams_nbr_list.append(jax.tree.map(lambda *xs: np.stack(xs),
+                                          *[cams[j] for j in nbr]))
+    cams_all = jax.tree.map(lambda *xs: np.stack(xs), *cams)
+    cams_nbr = jax.tree.map(lambda *xs: np.stack(xs), *cams_nbr_list)
+    return (cams_all, cams_nbr, np.asarray(nbr_idx),
+            np.asarray(nbr_valid), n_pad, enable_refraction,
+            enable_distortion)
 
 
 def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
@@ -593,12 +679,16 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
         if depth_mesh is not None:
             from ..parallel.depthshard import (
                 mvs_initial_estimate_depthsharded)
+            # "exact" has no slab backend; production methods do
+            m = resolve_mvs_method(method)
             return mvs_initial_estimate_depthsharded(
                 depth_mesh, rgbs[i], grays[i], masks[i],
                 grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],
                 cams[i], cams_nbr, cfg,
                 enable_refraction=enable_refraction,
-                enable_distortion=enable_distortion)
+                enable_distortion=enable_distortion,
+                method=("pallas" if m == "pallas" else "fast"),
+                nbr_valid=valid)
         return mvs_initial_estimate_oneview(
             rgbs[i], grays[i], masks[i],
             grays[jnp.asarray(nbr)], masks[jnp.asarray(nbr)],

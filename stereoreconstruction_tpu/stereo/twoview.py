@@ -251,8 +251,6 @@ def compute_depth_map_oneview(
     [row0, row0 + H) of a full_h-row image (row-sharded path, see
     parallel/rowshard.py); requires method="fast" and no MRF.
     """
-    from ..ops.ncc_fast import warp_other
-
     dtype = gray_ref.dtype
     h, w = gray_ref.shape
     radius = cfg.window_radius
@@ -271,8 +269,9 @@ def compute_depth_map_oneview(
 
     if method == "pallas" and cfg.cost != "sad":
         from ..ops.pallas_ncc import pallas_cost_wta
+        from ..ops.pallas_warp import pallas_warp_bilinear
 
-        def warp_at(_, d_idx):
+        def coords_at(_, d_idx):
             depth = depths[d_idx]
             pts, pvalid = point_from_depth(aux.ray_o, aux.ray_d,
                                            aux.center, aux.normal, depth)
@@ -280,18 +279,36 @@ def compute_depth_map_oneview(
                 cam_oth, pts, pvalid, cfg.image_scale,
                 enable_refraction=enable_refraction,
                 enable_distortion=enable_distortion)
-            return (), warp_other(gray_oth, mask_oth, xy[..., 0],
-                                  xy[..., 1], mvalid)
+            xy = jnp.where(mvalid[..., None], xy, -3e6)
+            return (), jnp.moveaxis(xy, -1, 0)        # [2, H, W]
 
-        _, (warp_vol, wv_vol) = lax.scan(
-            warp_at, (), jnp.arange(cfg.num_depth_levels))
-        # On non-TPU backends (tests on the virtual CPU mesh) the kernel
-        # runs under the DMA-emulating TPU interpret mode.
+        _, coords = lax.scan(
+            coords_at, (), jnp.arange(cfg.num_depth_levels))
+        # warped values are only consumed inside the support windows of
+        # unmasked pixels — everything else is dead-tile-skippable
+        size_d = 2 * radius + 1
+        relevant = lax.reduce_window(
+            jnp.asarray(mask_ref, dtype), -jnp.inf, lax.max,
+            (size_d, size_d), (1, 1), "SAME") > 0.5
+        # pad to warp-tile multiples (sentinel coords never sample)
+        twh, tww = 8, 32
+        hp = -(-h // twh) * twh
+        wp = -(-w // tww) * tww
+        coords_p = jnp.pad(coords, ((0, 0), (0, 0), (0, hp - h),
+                                    (0, wp - w)), constant_values=-3e6)
+        interp = jax.default_backend() != "tpu"
+        warp_vol, wv_vol, _oob = pallas_warp_bilinear(
+            coords_p, gray_oth, mask_oth,
+            relevant=jnp.pad(relevant, ((0, hp - h), (0, wp - w))),
+            tile_h=twh, tile_w=tww, interpret=interp)
+        warp_vol = warp_vol[:, :h, :w]
+        wv_vol = wv_vol[:, :h, :w]
+        # On non-TPU backends (tests on the virtual CPU mesh) the kernels
+        # run under the DMA-emulating TPU interpret mode.
         min_cost, second, best = pallas_cost_wta(
             depths, warp_vol, wv_vol, gray_ref, mask_ref & aux.inb,
             weights, radius=radius, max_color_diff=cfg.max_color_diff,
-            bad_ret=cfg.bad_ret,
-            interpret=jax.default_backend() != "tpu")
+            bad_ret=cfg.bad_ret, interpret=interp)
         best = jnp.where(min_cost > cfg.second_best_factor * second,
                          jnp.inf, best)
         return jnp.where(mask_ref, best, jnp.nan).astype(dtype)

@@ -66,6 +66,74 @@ class TestDepthSharded:
                                       np.asarray(want_d))
 
 
+class TestPallasSlabContract:
+    """The fused Pallas MVS kernel under the (label0, n_labels) slab
+    interface (parallel/depthshard.py drives it per device): slab
+    sweeps + the depthshard merge rules must reproduce the unsharded
+    kernel bit-for-bit.
+
+    Tested OUTSIDE shard_map (slabs looped on host, merged with the
+    exact depthshard merge code): the interpret-mode kernel's
+    callback-based DMA emulation deadlocks inside CPU shard_map
+    partitions (see tests/test_rowshard.py TestPallasBlocks).  The
+    shard_map composition itself is bit-equality-tested above with
+    method="fast" (same body/merge code), and the combined
+    shard_map x real-Pallas slab path is attested on the real chip by
+    scripts/check_radius5_parity.py ("depthshard_pallas_ok")."""
+
+    N_SLABS = 4
+    # lighter sweep than the module CFG: the interpret-mode kernel runs
+    # each (slab, mode) sweep in minutes at 24 labels
+    SLAB_CFG = MultiViewConfig(
+        window_radius=2, min_depth=45.0, max_depth=80.0,
+        num_depth_levels=12, image_scale=1.0,
+        weights=WeightConfig(kind="geodesic"))
+
+    def _sweep(self, scene, **kw):
+        from stereoreconstruction_tpu.stereo.multiview import (
+            _mvs_pallas_sweep)
+        rgb, gray, mask, g_nbr, m_nbr, cam, c_nbr = scene
+        return _mvs_pallas_sweep(
+            rgb, gray, mask, g_nbr, m_nbr, cam, c_nbr, self.SLAB_CFG,
+            enable_refraction=False, enable_distortion=False,
+            nbr_valid=None, **kw)
+
+    def test_wta_slabs_bitequal(self, scene):
+        want_n, want_d = self._sweep(scene)
+        slab = self.SLAB_CFG.num_depth_levels // self.N_SLABS
+        best_n = best_d = None
+        for s in range(self.N_SLABS):
+            n, d = self._sweep(scene, label0=s * slab, n_labels=slab)
+            if best_n is None:
+                best_n, best_d = n, d
+            else:
+                better = n >= best_n          # ascending slabs: >= ties
+                best_d = jnp.where(better, d, best_d)
+                best_n = jnp.where(better, n, best_n)
+        np.testing.assert_array_equal(np.asarray(best_n),
+                                      np.asarray(want_n))
+        np.testing.assert_array_equal(np.asarray(best_d),
+                                      np.asarray(want_d))
+
+    def test_topk_slabs_bitequal(self, scene):
+        from stereoreconstruction_tpu.parallel.collectives import (
+            local_topk)
+        want_n, want_d = self._sweep(scene, with_topk=True)
+        slab = self.SLAB_CFG.num_depth_levels // self.N_SLABS
+        parts = [self._sweep(scene, with_topk=True, label0=s * slab,
+                             n_labels=slab) for s in range(self.N_SLABS)]
+        # merge_topk without the mesh: concat slabs in ascending depth
+        # order (what all_gather over the "depth" axis produces) + the
+        # same stable re-select
+        flat_n = jnp.concatenate([p[0] for p in parts], axis=0)
+        flat_d = jnp.concatenate([p[1] for p in parts], axis=0)
+        got_n, got_d = local_topk(flat_n, flat_d, self.SLAB_CFG.top_k)
+        np.testing.assert_array_equal(np.asarray(got_n),
+                                      np.asarray(want_n))
+        np.testing.assert_array_equal(np.asarray(got_d),
+                                      np.asarray(want_d))
+
+
 class TestDepthMeshKnob:
     def test_mvs_depth_maps_depth_mesh_matches(self):
         """The engine-level knob (mvs_depth_maps(depth_mesh=...)) must

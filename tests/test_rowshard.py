@@ -106,8 +106,13 @@ class TestPallasBlocks:
     the CPU backend (upstream limitation — the XLA:CPU partition executor
     and the interpreter's global state).  The shard_map orchestration
     itself (same block_depth code path) is bit-equality-tested above with
-    method="fast", and the combined shard_map x real-Pallas path is
-    attested on the real chip by scripts/check_radius5_parity.py."""
+    method="fast".  The combined shard_map x real-Pallas composition is
+    attested on the real chip by scripts/check_radius5_parity.py
+    ("shardmap_pallas_ok", round 5+): twoview_pairs_rowsharded(
+    method="pallas") on a 1x1 device mesh (one chip is all the dev host
+    has) bit-compared against the unsharded pallas maps — same halo
+    block / axis_index code path an n-row mesh executes, n-row block
+    *boundaries* covered by this class."""
 
     def test_blocks_match_unsharded(self):
         import jax.numpy as jnp
