@@ -1,10 +1,10 @@
 """Pallas TPU kernel: exact nearest-neighbour map sampling.
 
-XLA:TPU lowers the cross-check's scattered ``depth[iy, ix]`` reads to a
-serial gather measured at ~20 ms per MVS view (~1.4M taps; round-5
-device profile: 160 ms of the 940 ms 8-view iteration).  This kernel
-replaces it with the patch-DMA + one-hot-matmul selection machinery of
-ops/pallas_mvs.py:
+XLA:TPU lowers scattered ``img[iy, ix]`` reads to a serial gather
+(~20 ms per 1.4M taps measured on the MVS cross-check, round-5 device
+profile).  This kernel implements the same read with the patch-DMA +
+one-hot-matmul selection machinery of ops/pallas_mvs.py — ~5x cheaper
+WHEN the coordinates are per-tile coherent:
 
 * per (source, tile) a patch of the source map is DMA'd (bbox of the
   tile's contained coordinates, precomputed in XLA; 8/128-aligned);
@@ -19,8 +19,17 @@ ops/pallas_mvs.py:
   stereo/multiview.mvs_cross_check_oneview (multiviewstereo.cpp:698).
 
 Rows outside the DMA'd band return finite=False and are counted
-(``oob_frac``); the wrapper sizes bands generously (the consumer treats
-them as cross-check disagreement, the conservative direction).
+(``oob_frac``).
+
+APPLICABILITY (measured, round 5): the MVS cross-check was the target,
+but its coordinates scatter with each pixel's DEPTH — per-tile x-spans
+reach ~340 px and wide-baseline pairs exceed any fixed y-band, so the
+bounded-patch form dropped 8-40% of real cross-check confirmations and
+the engine keeps the exact XLA gather instead
+(stereo/multiview.mvs_cross_check_oneview).  Use this op where the
+coordinate field is smooth per tile (e.g. warps of a single depth
+plane); the bit-exactness contract is tested in
+tests/test_pallas_mvs.py::test_sample_nearest_bit_exact.
 """
 
 from __future__ import annotations
@@ -123,8 +132,8 @@ def _sample_kernel(coords_hbm, offs_hbm, src_hbm, out_v, out_f,
     static_argnames=("tile_h", "tile_w", "patch_h", "patch_w",
                      "interpret"))
 def pallas_sample_nearest(srcs, x2, y2, *, tile_h: int = 8,
-                          tile_w: int = 32, patch_h: int = 32,
-                          patch_w: int = 256,
+                          tile_w: int = 32, patch_h: int = 48,
+                          patch_w=None,
                           interpret: bool = False):
     """Sample ``srcs[j]`` at clamped-trunc integer coords, exactly.
 
@@ -162,7 +171,14 @@ def pallas_sample_nearest(srcs, x2, y2, *, tile_h: int = 8,
     src4 = jnp.stack([hi, mid, lo, fin.astype(jnp.bfloat16)],
                      axis=1)                       # [V, 4, hs, ws]
     hs_p = max(-(-hs // 8) * 8, patch_h)
-    ws_p = max(-(-ws // 128) * 128, patch_w)
+    # patch_w=None -> full image width: the MVS cross-check's epipolar
+    # direction is near-horizontal on this rig (measured per-tile
+    # x-spans up to ~340 px vs y-spans <= 27), so x-bboxing loses real
+    # checks while the y-band stays tight
+    ws_p = -(-ws // 128) * 128
+    if patch_w is None:
+        patch_w = ws_p
+    ws_p = max(ws_p, patch_w)
     src4 = jnp.pad(src4, ((0, 0), (0, 0), (0, hs_p - hs),
                           (0, ws_p - ws)))
 

@@ -132,8 +132,7 @@ def trws_optimize(top_ncc, top_depth, cfg: MultiViewConfig,
 
     msgs0 = jnp.zeros((4, h, w, L), D.dtype)
 
-    def body(carry, _):
-        msgs, prev_e, done = carry
+    def step(msgs):
         # min-sum updates, synchronous, all directions at once
         belief = D + jnp.sum(msgs, axis=0)             # [H, W, L]
         new = []
@@ -146,17 +145,34 @@ def trws_optimize(top_ncc, top_depth, cfg: MultiViewConfig,
         sent = jnp.stack(new)                          # [4, H, W, L]
         # messages arrive at the neighbor: shift each field
         arrived = jnp.stack([shift_msg(sent[d], d) for d in range(4)])
-        msgs_new = damping * msgs + (1 - damping) * arrived
-        msgs_new = jnp.where(done, msgs, msgs_new)
+        return damping * msgs + (1 - damping) * arrived
 
-        e, _ = energy_of(msgs_new)
-        done_new = done | (prev_e - e <= cfg.mrf_energy_eps)
-        return (msgs_new, jnp.minimum(e, prev_e), done_new), e
-
+    # EARLY-EXIT while_loop (round 5): the reference stops when the
+    # energy improvement <= eps (multiviewstereo.cpp:610-651); the old
+    # fixed-length scan kept paying all max_iters after convergence —
+    # the bunny run converges in ~10-15 iterations.
     init_e, _ = energy_of(msgs0)
-    (msgs, _, _), trace = lax.scan(
-        body, (msgs0, init_e, jnp.asarray(False)), None, length=max_iters)
+    trace0 = jnp.full((max_iters,), jnp.nan, D.dtype)
+
+    def cond(carry):
+        _, prev_e, it, _, done = carry
+        return (it < max_iters) & ~done
+
+    def body(carry):
+        msgs, prev_e, it, trace, _ = carry
+        msgs_new = step(msgs)
+        e, _ = energy_of(msgs_new)
+        done = prev_e - e <= cfg.mrf_energy_eps
+        return (msgs_new, jnp.minimum(e, prev_e), it + 1,
+                trace.at[it].set(e), done)
+
+    msgs, _, _, trace, _ = lax.while_loop(
+        cond, body, (msgs0, init_e, jnp.int32(0), trace0,
+                     jnp.asarray(False)))
     e, lab = energy_of(msgs)
+    # pad the unused tail with the final energy (consumers read the
+    # trace as "energy per iteration, frozen after convergence")
+    trace = jnp.where(jnp.isnan(trace), e, trace)
     return MRFResult(labels=lab.astype(jnp.int32), energy=e,
                      energies=trace)
 

@@ -447,6 +447,48 @@ def mvs_batched_with_cross_check(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "n_neighbours", "enable_refraction",
+                     "enable_distortion", "method", "cross_check"))
+def mvs_batched_mrf_with_cross_check(
+        rgbs, grays, masks, grays_nbr, masks_nbr, cams_all: Camera,
+        cams_nbr: Camera, nbr_valid, cfg: MultiViewConfig,
+        n_neighbours: int, *, enable_refraction=True,
+        enable_distortion=True, method: str = "auto",
+        cross_check: bool = True):
+    """The USE_MRF flow (top-K hypothesis volume + TRW-S + decode +
+    any-view cross-check) for EVERY view in ONE compiled dispatch.
+
+    Round-4's MRF path looped views on the host over the XLA top-K
+    fallback (81 s for 8 bunny views); here each view's hypothesis
+    volume comes from the fused Pallas kernel (with_topk) and the
+    early-exit TRW-S runs inside the same scan (docs/mrf_bunny.md v2).
+    """
+    from .mrf import trws_optimize, labels_to_depth
+
+    def body(_, xs):
+        rgb, gray, mask, g_nbr, m_nbr, cam, c_nbr, valid = xs
+        top_ncc, top_depth = mvs_initial_estimate_oneview(
+            rgb, gray, mask, g_nbr, m_nbr, cam, c_nbr, cfg,
+            n_neighbours, enable_refraction=enable_refraction,
+            enable_distortion=enable_distortion, method=method,
+            with_topk=True, nbr_valid=valid)
+        res = trws_optimize(top_ncc, top_depth, cfg,
+                            max_iters=cfg.mrf_max_iters)
+        d = labels_to_depth(res.labels, top_depth)
+        return (), jnp.where(mask, d, jnp.inf)
+
+    _, depths = lax.scan(
+        body, (), (rgbs, grays, masks, grays_nbr, masks_nbr, cams_all,
+                   cams_nbr, nbr_valid))
+    if not cross_check:
+        return depths
+    return mvs_cross_check_all(
+        depths, cams_all, cfg, enable_refraction=enable_refraction,
+        enable_distortion=enable_distortion)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "enable_refraction", "enable_distortion"))
 def mvs_cross_check_all(depths_all, cams_all: Camera,
                         cfg: MultiViewConfig, *, enable_refraction=True,
@@ -511,25 +553,24 @@ def mvs_cross_check_oneview(depth_ref, depths_all, view_index,
 
     x2s, y2s, vprojs = jax.vmap(proj_view)(jnp.arange(n_views))
 
-    # the scattered depth[iy, ix] reads are XLA:TPU's slowest op in the
-    # whole MVS pipeline (~20 ms/view of serial gather, round-5 device
-    # profile); the Pallas one-hot sampler reproduces them bit-exactly
-    # (3-way bf16 split) at ~2% of the cost.  XLA gather elsewhere —
-    # the interpret-mode kernel would slow the CPU test mesh instead.
-    if jax.default_backend() == "tpu":
-        from ..ops.pallas_sample import pallas_sample_nearest
-        ods, ofins, _ = pallas_sample_nearest(
-            depths_all.astype(jnp.float32), x2s.astype(jnp.float32),
-            y2s.astype(jnp.float32))
-        ods = ods.astype(dtype)
-    else:
-        def gather_view(j):
-            ix = jnp.clip(jnp.trunc(x2s[j]).astype(jnp.int32), 0, w - 1)
-            iy = jnp.clip(jnp.trunc(y2s[j]).astype(jnp.int32), 0, h - 1)
-            od = depths_all[j][iy, ix]
-            return jnp.where(jnp.isfinite(od), od, 0.0), \
-                jnp.isfinite(od)
-        ods, ofins = jax.vmap(gather_view)(jnp.arange(n_views))
+    # The scattered depth[iy, ix] reads are XLA:TPU's slowest op in the
+    # MVS pipeline (~20 ms/view of serial gather, round-5 device
+    # profile).  A Pallas one-hot patch sampler (ops/pallas_sample.py)
+    # was built and measured: exact values, ~5x cheaper — but the
+    # cross-check coordinates scatter with the per-pixel DEPTH (not
+    # just the pixel grid): per-tile x-spans reach ~340 px and wide-
+    # baseline view pairs exceed any fixed y-band, so bounded patches
+    # silently drop real confirmations (measured survivor loss 8-40%
+    # as the patch shrinks).  Correctness wins: the exact XLA gather
+    # stays; the sampler remains available for coherent-coordinate
+    # sampling (see its docstring + tests).
+    def gather_view(j):
+        ix = jnp.clip(jnp.trunc(x2s[j]).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.trunc(y2s[j]).astype(jnp.int32), 0, h - 1)
+        od = depths_all[j][iy, ix]
+        return jnp.where(jnp.isfinite(od), od, 0.0), jnp.isfinite(od)
+
+    ods, ofins = jax.vmap(gather_view)(jnp.arange(n_views))
 
     def check_view(j):
         cam_o = jax.tree.map(lambda x: x[j], cams_all)
@@ -700,8 +741,8 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
     if view_ids is None:
         view_ids = [str(i) for i in range(n_views)]
 
-    batched = (checkpoint is None and not cfg.use_mrf
-               and depth_mesh is None and n_views > 0)
+    batched = (checkpoint is None and depth_mesh is None
+               and n_views > 0)
     if batched:
         padded = [padded_nbr(i) for i in range(n_views)]
         nbr_idx = np.asarray([p[0] for p in padded])     # [V, N]
@@ -709,6 +750,14 @@ def mvs_depth_maps(rgbs, masks, cams: Sequence[Camera],
         cams_all = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
         cams_nbr = jax.tree.map(lambda *xs: jnp.stack(xs),
                                 *[p[2] for p in padded])
+        if cfg.use_mrf:
+            with trace("mvs/mrf_batched"):
+                return mvs_batched_mrf_with_cross_check(
+                    rgbs, grays, masks, grays[nbr_idx], masks[nbr_idx],
+                    cams_all, cams_nbr, nbr_valid, cfg, n_pad,
+                    enable_refraction=enable_refraction,
+                    enable_distortion=enable_distortion, method=method,
+                    cross_check=cross_check)
         if cross_check:
             # ONE dispatch for estimates + cross-check: every extra
             # host->device roundtrip costs ~tunnel latency; a profiled
