@@ -112,8 +112,10 @@ def _mvs_kernel(depths_ref, nbrv_ref, coords_hbm, offs_hbm, patches_hbm,
     # to the WTA carry (same >= later-depth-wins tie rule).
     state[0] = jnp.full((1, p_lanes), -jnp.inf, f32)
     state[1] = jnp.zeros((1, p_lanes), f32)
-    topn_buf[...] = jnp.full((n_topk, p_lanes), -jnp.inf, f32)
-    topd_buf[...] = jnp.full((n_topk, p_lanes), -1.0, f32)
+    # buffers are K padded to a DMA-aligned multiple of 8 rows; the
+    # insertion loop below only ever touches rows [0, n_topk)
+    topn_buf[...] = jnp.full(topn_buf.shape, -jnp.inf, f32)
+    topd_buf[...] = jnp.full(topd_buf.shape, -1.0, f32)
 
     # left-side per-tap constants (VMEM blocks, pixels on lanes)
     wgt = w_ref[0]                         # [25, P]
@@ -396,8 +398,12 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
         thr=float(thr), py=patch_h, px=patch_w, p_lanes=p_lanes,
         hs=hs, ws=ws, n_topk=n_topk)
 
-    out_shape = [jax.ShapeDtypeStruct((n_tiles, n_topk, p_lanes), f32),
-                 jax.ShapeDtypeStruct((n_tiles, n_topk, p_lanes), f32),
+    # output DMAs slice [1, K, P] out of [T, K, P]: the sublane dim
+    # must be 8-aligned on real hardware, so K pads up (rows past
+    # n_topk carry the (-inf, -1) init and are sliced off below)
+    k_pad = -(-n_topk // 8) * 8 if n_topk > 1 else 1
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, k_pad, p_lanes), f32),
+                 jax.ShapeDtypeStruct((n_tiles, k_pad, p_lanes), f32),
                  jax.ShapeDtypeStruct((n_tiles, 1, p_lanes), f32)]
     with jax.enable_x64(False):
         ncc, depth, oob = pl.pallas_call(
@@ -434,8 +440,8 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
                 pltpu.VMEM((size * size, p_lanes), f32),       # taps
                 pltpu.VMEM((size * size, p_lanes), f32),       # tap valid
                 pltpu.VMEM((2, 1, p_lanes), f32),              # ncc/oob
-                pltpu.VMEM((n_topk, p_lanes), f32),            # top ncc
-                pltpu.VMEM((n_topk, p_lanes), f32),            # top depth
+                pltpu.VMEM((k_pad, p_lanes), f32),             # top ncc
+                pltpu.VMEM((k_pad, p_lanes), f32),             # top depth
                 pltpu.SemaphoreType.DMA((8,)),
             ],
         )(depths_f, nbrv_f, coords_k, offs_pack, patches,
@@ -443,9 +449,9 @@ def pallas_mvs_wta(depths, coords, gray_nbr, gl, lv, weights, nbr_valid,
           jnp.moveaxis(lv_t, 0, 1),
           jnp.moveaxis(w_t, 0, 1))
 
-    # [T, K, P] -> [K, T, P] -> [K, H, W] (or [H, W] for WTA mode)
-    ncc = jnp.moveaxis(ncc, 1, 0)
-    depth = jnp.moveaxis(depth, 1, 0)
+    # [T, Kpad, P] -> [K, T, P] -> [K, H, W] (or [H, W] for WTA mode)
+    ncc = jnp.moveaxis(ncc[:, :n_topk], 1, 0)
+    depth = jnp.moveaxis(depth[:, :n_topk], 1, 0)
     if n_topk == 1:
         ncc, depth = ncc[0], depth[0]
     best_ncc = _untile(ncc, h, w, tile_h, tile_w)
